@@ -1,0 +1,174 @@
+"""Container-title (journal / proceedings venue) normalization.
+
+Behavioral spec: /root/reference/bib_dedupe/prep_container_title.py:85-204
+(golden expectations in /root/reference/tests/prep_test.py:144-247).
+
+The journal-variant translation table (title_variant → canonical journal,
+~1,350 rows in the reference's ``journal_variants.csv``) is treated as an
+injectable data dependency: :func:`load_journal_variants` reads it from
+``BIB_DEDUPE_JOURNAL_VARIANTS`` (or the reference checkout when present)
+and the engine degrades gracefully to an empty mapping when neither is
+available. Entry order matters (first match wins), so the mapping is an
+ordered dict.
+"""
+from __future__ import annotations
+
+import csv
+import os
+import re
+from pathlib import Path
+
+from bib_dedupe_spark.kernels import numwords
+
+VENUE_STOPWORDS = frozenset(
+    [
+        "of",
+        "for",
+        "the",
+        "and",
+        "de",
+        "d",
+        "et",
+        "in",
+        "i",
+        "&",
+        "to",
+        "on",
+        "die",
+        "part",
+        "annual",
+        "und",
+        "für",
+        "fur",
+        "der",
+    ]
+)
+
+# 4-char-prefix → canonical abbreviation rewrites, applied in order
+VENUE_ABBREVIATIONS = (
+    ("amer", "am"),
+    ("soci", "soc"),
+    ("expe", "exp"),
+    ("mole", "mol"),
+    ("scie", "sci"),
+    ("brit", "br"),
+    ("bole", "bol"),
+    ("inte", "int"),
+    ("arqu", "arq"),
+    ("polo", "pol"),
+    ("vete", "vet"),
+    ("desi", "des"),
+    ("mede", "med"),
+    ("tera", "ter"),
+    ("huma", "hum"),
+    ("revu", "rev"),
+    ("natu", "nat"),
+    ("move", "mov"),
+    ("cana", "can"),
+    ("euro", "eur"),
+    ("adva", "adv"),
+    ("medi", "med"),
+    ("anna", "ann"),
+    ("revi", "rev"),
+    ("rese", "res"),
+    ("bmj br med j", "bmj"),
+    ("br med j", "bmj"),
+)
+
+_VARIANTS_ENV = "BIB_DEDUPE_JOURNAL_VARIANTS"
+_DEFAULT_VARIANTS_PATH = "/root/reference/bib_dedupe/journal_variants.csv"
+
+_variants_cache: dict | None = None
+
+
+def load_journal_variants(path: str | None = None) -> dict:
+    """Ordered {title_variant_lower: canonical_journal_lower} mapping."""
+    global _variants_cache
+    if path is None and _variants_cache is not None:
+        return _variants_cache
+    candidate = path or os.environ.get(_VARIANTS_ENV) or _DEFAULT_VARIANTS_PATH
+    mapping: dict = {}
+    p = Path(candidate)
+    if p.is_file():
+        with p.open(newline="", encoding="utf-8") as fh:
+            for row in csv.DictReader(fh):
+                variant = (row.get("title_variant") or "").lower()
+                canonical = (row.get("journal") or "").lower()
+                if variant:
+                    mapping[variant] = canonical
+    if path is None:
+        _variants_cache = mapping
+    return mapping
+
+
+_RE_PROCEEDINGS_OF_THE = re.compile("proceedings of the", re.IGNORECASE)
+_RE_SPLIT_MARKERS = re.compile(r"(\.\d+)|(: )|( - )")
+_RE_SPLIT_SEARCH = re.compile(r"(\.\d+)|(\. )|(: )|( - )")
+_RE_ELECTRONIC_RESOURCE = re.compile(r"\s*\[Electronic Resource\]$")
+_RE_TRAIL_PAREN_OR_S = re.compile(r"\s*\([^)]*\)\s*$|('s)")
+_RE_LEAD_THE_OR_L = re.compile(r"^the\s|^(l')|", re.IGNORECASE)
+_RE_NON_ALPHA = re.compile(r"[^A-Za-z ]+")
+_RE_LEAD_ORDINAL = re.compile(r"^\s*(st|nd|rd|th) ", re.IGNORECASE)
+_RE_TRAIL_THE = re.compile(r"\sthe\s*$", re.IGNORECASE)
+_RE_PROC_SUPP = re.compile(r"^proc\s|\ssupp$")
+
+
+def _translate_variant(value: str, variants: dict) -> str:
+    """First-match journal-variant translation (skips single-word keys)."""
+    if (
+        not any(ch in value for ch in "=.[")
+        and len(value) < 70
+        and "journal" in value.lower()
+    ):
+        return value
+    haystack = value.replace(".", " ").lower()
+    for variant, canonical in variants.items():
+        if " " not in variant:
+            continue
+        if variant in haystack:
+            return canonical
+    return value
+
+
+def _abbreviate(ct: str) -> str:
+    """Collapse a cleaned venue string to its 4-char-prefix abbreviation."""
+    ct = _RE_TRAIL_THE.sub("", ct)
+    ct = ct.lower().replace(" neuro ", " neuro").replace("-", "").replace("journal", "j")
+    if "plos one" not in ct:
+        ct = numwords.parse(ct)
+    ct = " ".join(w[:4] for w in ct.split() if w not in VENUE_STOPWORDS)
+    for prefix, abbrev in VENUE_ABBREVIATIONS:
+        ct = ct.replace(prefix, abbrev)
+    return _RE_PROC_SUPP.sub("", ct)
+
+
+def norm_container_title(value: str, variants: dict | None = None) -> str:
+    """Full container-title normalization cascade."""
+    if variants is None:
+        variants = load_journal_variants()
+
+    lowered = value.lower()
+    if "date of publication" in lowered or "conference start" in lowered:
+        value = _RE_PROCEEDINGS_OF_THE.sub("", value.split(".")[0])
+    else:
+        value = _RE_PROCEEDINGS_OF_THE.sub("", value)
+
+    value = _translate_variant(value, variants)
+
+    if _RE_SPLIT_SEARCH.search(value):
+        value = _RE_SPLIT_MARKERS.split(value)[0]
+
+    value = _RE_ELECTRONIC_RESOURCE.sub("", value)
+    value = _RE_TRAIL_PAREN_OR_S.sub("", value)
+    value = _RE_LEAD_THE_OR_L.sub("", value)
+    value = _RE_NON_ALPHA.sub(" ", value)
+    value = _RE_LEAD_ORDINAL.sub("", value)
+
+    return _abbreviate(value)
+
+
+def container_title_short(ct: str) -> str:
+    """Initialism of the alphabetic words (used as a blocking key)."""
+    if ct == "nan":
+        return ""
+    return "".join(word[0] for word in ct.split() if word.isalpha())

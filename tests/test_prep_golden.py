@@ -1,0 +1,75 @@
+"""Golden tests for field normalizers (exact string equality).
+
+Cases lifted from /root/reference/tests/prep_test.py via AST.
+"""
+import pytest
+
+from bib_dedupe_spark.functions import authors, containers, fields, schema_fix, titles
+from tests.reference_cases import prep_cases, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not available"
+)
+
+
+@pytest.mark.parametrize("raw,expected", prep_cases("test_prep_authors"))
+def test_norm_author(raw, expected):
+    assert authors.norm_author(raw) == expected
+
+
+@pytest.mark.parametrize("raw,expected", prep_cases("test_prep_container_title"))
+def test_norm_container_title(raw, expected):
+    assert containers.norm_container_title(raw) == expected
+
+
+@pytest.mark.parametrize("raw,expected", prep_cases("test_prep_title"))
+def test_norm_title(raw, expected):
+    assert titles.norm_title(raw) == expected
+
+
+@pytest.mark.parametrize("raw,expected", prep_cases("test_prep_volume"))
+def test_norm_volume(raw, expected):
+    assert fields.norm_volume(raw) == expected
+
+
+@pytest.mark.parametrize("raw,expected", prep_cases("test_prep_number"))
+def test_norm_number(raw, expected):
+    assert fields.norm_number(raw) == expected
+
+
+@pytest.mark.parametrize("raw,expected", prep_cases("test_prep_pages"))
+def test_norm_pages(raw, expected):
+    assert fields.norm_pages(raw) == expected
+
+
+@pytest.mark.parametrize("raw,expected", prep_cases("test_prep_abstract"))
+def test_norm_abstract(raw, expected):
+    assert fields.norm_abstract(raw) == expected
+
+
+@pytest.mark.parametrize("raw,expected", prep_cases("test_prep_doi"))
+def test_norm_doi(raw, expected):
+    assert fields.norm_doi(raw) == expected
+
+
+@pytest.mark.parametrize("case", prep_cases("test_fix_schema_misalignments"))
+def test_fix_schema_row(case):
+    row = case["row"]
+    title, journal, volume, number, pages, year = schema_fix.fix_row(
+        row.get("title", ""),
+        row.get("journal", ""),
+        row.get("volume", ""),
+        row.get("number", ""),
+        row.get("pages", ""),
+        row.get("year", ""),
+    )
+    got = {
+        "title": title,
+        "journal": journal,
+        "volume": volume,
+        "number": number,
+        "pages": pages,
+        "year": year,
+    }
+    for key, expected in case["expected"].items():
+        assert got[key] == expected, f"{case['id']}: {key}"
