@@ -1,0 +1,217 @@
+"""Blocking stage: multi-pass candidate-pair generation as one Spark plan.
+
+Behavioral spec: /root/reference/bib_dedupe/block.py (rule list :23-56,
+pair generation :59-104, same-set pruning :127-149, title-overlap pruning
+:152-198, driver :201-307).
+
+Spark-first design (replaces the reference's 16-process pool + pandas
+groupby/combinations):
+
+  prepared records
+    → per-record ARRAY of (rule_idx, composite key) entries, one per
+      blocking rule whose fields are all non-empty        (explode, no UDF)
+    → hash-partitioned self-equi-join on (rule_idx, key) with ID_1 < ID_2
+    → groupBy(ID_1, ID_2): first rule by rule order, AND of the
+      require-title-overlap flags                          (single shuffle)
+    → two enrichment joins against the records
+    → native title-overlap + same-search-set pruning filters
+
+Skew handling: composite keys are explicit columns, so hot keys are
+observable; keys whose group exceeds ``max_block_size`` are dropped from
+pair generation (logged via the returned metrics accumulator) instead of
+producing O(k²) pairs — the reference simply eats that cost in one
+process. AQE skew-join splitting covers residual join skew.
+
+The NaN quirk: the reference leaves ``author_first`` as NaN for empty
+authors (prep.py:241), and NaN passes its non-empty blocking filter, so
+empty-author records DO block together on the remaining fields. We mirror
+this with a reserved sentinel for null ``author_first``.
+"""
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bib_dedupe_spark import constants as C
+
+# (fields, require_title_overlap); overlap required iff the rule shares no
+# field with {title_short, doi, pages} (block.py:96-98). Field order within
+# a key follows the reference's set-literal iteration only up to grouping
+# equality — any fixed order yields identical groups.
+BLOCKING_RULES = [
+    ((C.AUTHOR_FIRST, C.YEAR), True),
+    ((C.AUTHOR_FIRST, C.CONTAINER_TITLE_SHORT), True),
+    ((C.TITLE_SHORT, C.PAGES), False),
+    ((C.TITLE_SHORT, C.AUTHOR_FIRST), False),
+    ((C.TITLE_SHORT, C.VOLUME), False),
+    ((C.TITLE_SHORT, C.CONTAINER_TITLE_SHORT), False),
+    ((C.TITLE_SHORT, C.YEAR), False),
+    ((C.CONTAINER_TITLE_SHORT, C.VOLUME, C.NUMBER), True),
+    ((C.CONTAINER_TITLE_SHORT, C.VOLUME, C.YEAR), True),
+    ((C.CONTAINER_TITLE_SHORT, C.VOLUME, C.PAGES), False),
+    ((C.CONTAINER_TITLE_SHORT, C.YEAR, C.PAGES), False),
+    ((C.YEAR, C.VOLUME, C.NUMBER), True),
+    ((C.YEAR, C.VOLUME, C.PAGES), False),
+    ((C.YEAR, C.NUMBER, C.PAGES), False),
+    ((C.DOI,), False),
+    ((C.ABSTRACT,), True),
+]
+
+# sentinel standing in for the reference's NaN author_first; groups nulls
+# together and passes the non-empty filter, like NaN does in pandas
+_NULL_KEY = "\x00<null>"
+_KEY_SEP = "\x1f"
+
+
+def rule_name(fields: tuple) -> str:
+    return "-".join(fields)
+
+
+def _key_entries_column():
+    """Array column of (rule_idx, rto, key) structs, one per passing rule."""
+    entries = []
+    for idx, (fields, rto) in enumerate(BLOCKING_RULES):
+        parts = [F.coalesce(F.col(f), F.lit(_NULL_KEY)) for f in fields]
+        non_empty = reduce(
+            lambda a, b: a & b, [p != "" for p in parts]
+        )
+        key = F.concat_ws(_KEY_SEP, *parts)
+        entries.append(
+            F.when(
+                non_empty,
+                F.struct(
+                    F.lit(idx).alias("rule_idx"),
+                    F.lit(rto).alias("rto"),
+                    key.alias("key"),
+                ),
+            )
+        )
+    return F.array_compact(F.array(*entries))
+
+
+def candidate_pairs(
+    records_df: DataFrame,
+    max_block_size: int | None = 1000,
+) -> DataFrame:
+    """Distinct candidate pairs (ID_1 < ID_2) with first-rule attribution
+    and the aggregated require-title-overlap flag."""
+    keys = (
+        records_df.filter(F.col(C.TITLE).isNotNull())
+        .select(C.ID, F.explode(_key_entries_column()).alias("entry"))
+        .select(
+            C.ID,
+            F.col("entry.rule_idx").alias("rule_idx"),
+            F.col("entry.rto").alias("rto"),
+            F.col("entry.key").alias("key"),
+        )
+    )
+
+    if max_block_size is not None:
+        # kill O(k²) blow-up on hot keys; the drop is observable via the
+        # blocking_key_stats() helper
+        counts = keys.groupBy("rule_idx", "key").agg(
+            F.count("*").alias("_block_n")
+        )
+        keys = keys.join(
+            F.broadcast(
+                counts.filter(F.col("_block_n") > max_block_size).select(
+                    "rule_idx", "key"
+                )
+            ),
+            ["rule_idx", "key"],
+            "left_anti",
+        )
+
+    left = keys.select(
+        F.col(C.ID).alias("ID_1"),
+        "rule_idx",
+        "rto",
+        "key",
+    )
+    right = keys.select(F.col(C.ID).alias("ID_2"), "rule_idx", "key")
+    raw_pairs = left.join(right, ["rule_idx", "key"]).filter(
+        F.col("ID_1") < F.col("ID_2")
+    )
+
+    # one pair per (ID_1, ID_2): earliest rule wins the attribution,
+    # overlap required only if EVERY producing rule required it
+    # (block.py:272-276)
+    return (
+        raw_pairs.groupBy("ID_1", "ID_2")
+        .agg(
+            F.min("rule_idx").alias("rule_idx"),
+            F.min(F.col("rto").cast("int")).cast("boolean").alias(
+                "require_title_overlap"
+            ),
+        )
+    )
+
+
+def blocking_key_stats(records_df: DataFrame) -> DataFrame:
+    """Per-(rule, key) group sizes — the skew observability surface."""
+    return (
+        records_df.select(C.ID, F.explode(_key_entries_column()).alias("e"))
+        .groupBy(F.col("e.rule_idx").alias("rule_idx"), F.col("e.key").alias("key"))
+        .agg(F.count("*").alias("group_size"))
+    )
+
+
+def _tokens(col_name: str):
+    return F.filter(F.split(F.col(col_name), " "), lambda x: x != "")
+
+
+def _title_overlap_keep():
+    """Keep-predicate of the title-overlap pruning (block.py:152-198)."""
+    t1 = F.col("title_1")
+    t2 = F.col("title_2")
+    exempt = (
+        (t1 == t2) | (~t1.contains(" ")) | (~t2.contains(" "))
+    )
+    tok1 = _tokens("title_1")
+    tok2 = _tokens("title_2")
+    shared = F.size(F.array_intersect(tok1, tok2))
+    denom = F.least(F.size(tok1) + 1, F.size(tok2) + 1)
+    both_empty = (F.length(t1) + F.length(t2)) == 0
+    low_overlap = F.when(both_empty, F.lit(True)).otherwise(
+        (shared / denom) < 0.5
+    )
+    require = F.col("require_title_overlap") & ~exempt
+    return ~(require & low_overlap)
+
+
+def block(
+    records_df: DataFrame,
+    max_block_size: int | None = 1000,
+) -> DataFrame:
+    """Full blocking stage → enriched, pruned pair table."""
+    records_df = records_df.filter(F.col(C.TITLE).isNotNull())
+
+    pairs = candidate_pairs(records_df, max_block_size=max_block_size)
+
+    rule_names = F.array(
+        *[F.lit(rule_name(fields)) for fields, _ in BLOCKING_RULES]
+    )
+
+    left_rec = records_df.select(
+        *[F.col(c).alias(f"{c}_1") for c in C.PREPARED_FIELDS]
+    )
+    right_rec = records_df.select(
+        *[F.col(c).alias(f"{c}_2") for c in C.PREPARED_FIELDS]
+    )
+
+    enriched = (
+        pairs.join(left_rec, "ID_1", "left")
+        .join(right_rec, "ID_2", "left")
+        .withColumn(C.BLOCK_RULE, rule_names[F.col("rule_idx")])
+    )
+
+    pruned = enriched.filter(_title_overlap_keep()).filter(
+        ~(
+            (F.col("search_set_1") == F.col("search_set_2"))
+            & (F.col("search_set_1") != "")
+        )
+    )
+
+    return pruned.select(*C.pair_columns())

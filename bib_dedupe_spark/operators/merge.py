@@ -1,0 +1,175 @@
+"""Merge stage: per-cluster field survivorship.
+
+Behavioral spec: /root/reference/bib_dedupe/merge.py (default merge
+functions :21-147, driver loop :150-248; golden expectations
+tests/merge_test.py). The reference loops clusters on the driver; here
+survivorship is a ``groupBy(component).applyInPandas`` over only the
+multi-member clusters, unioned with the untouched singletons — one
+shuffle on the component key.
+
+The per-column reducers consume values in input-row order (the reference's
+``sub_df`` order); callers may provide a ``_row_order`` column to pin that
+order, otherwise rows are ordered by ID (deterministic at any scale).
+Reducers are pluggable via ``merge_functions`` exactly like the reference.
+"""
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bib_dedupe_spark import constants as C
+
+_ROW_ORDER = "_row_order"
+
+
+def _upper_fraction(text: str) -> float:
+    if len(text) == 0:
+        return 0.0
+    return sum(map(str.isupper, text)) / len(text)
+
+
+def _non_empty(values: list) -> list:
+    return [v for v in values if not (pd.isnull(v) or v == "")]
+
+
+def merge_title(values: list) -> str:
+    """Prefer less-uppercased titles; avoid '*'/'1'/'2'-suffixed variants."""
+    if len(_non_empty(values)) <= 1:
+        return values[0]
+    best = values[0]
+    for candidate in values[1:]:
+        if best.replace(" - ", ": ") == candidate.replace(" - ", ": "):
+            return best
+    best_upper = _upper_fraction(best)
+    for candidate in values[1:]:
+        if candidate[-1] not in ("*", "1", "2"):
+            if best_upper > _upper_fraction(candidate):
+                best = candidate
+    return best
+
+
+def merge_author(values: list) -> str:
+    """Prefer not-all-caps author strings."""
+    if len(_non_empty(values)) <= 1:
+        return values[0]
+    best = values[0]
+    best_upper = _upper_fraction(best)
+    for candidate in values[1:]:
+        if best_upper > 0.8 and _upper_fraction(candidate) <= 0.8:
+            best = candidate
+    return best
+
+
+def merge_container_title(values: list) -> str:
+    """Prefer unabbreviated (dot-free), less-uppercased venue strings."""
+    if len(_non_empty(values)) <= 1:
+        return values[0]
+    values = _non_empty(values)
+    best = values[0]
+    best_upper = _upper_fraction(best)
+    for candidate in values[1:]:
+        if "." in best and "." not in candidate:
+            best = candidate
+        if best_upper > _upper_fraction(candidate):
+            best = candidate
+    return best
+
+
+def merge_year(values: list) -> str:
+    """Max year (published beats forthcoming)."""
+    years = [str(v) for v in values if not (pd.isnull(v) or v == "")]
+    if not any(y.isdigit() for y in years):
+        return ""
+    return str(max(int(y) for y in years if y.isdigit()))
+
+
+def merge_pages(values: list) -> str:
+    """Prefer '--' full ranges."""
+    if len(_non_empty(values)) <= 1:
+        return values[0]
+    values = _non_empty(values)
+    best = values[0]
+    for candidate in values[1:]:
+        if "--" in candidate and "--" not in best:
+            best = candidate
+    return best
+
+
+def merge_origin(values: list) -> str:
+    """Union of ';'-separated provenance tokens, sorted."""
+    tokens: set = set()
+    for value in values:
+        tokens.update(value.split(";"))
+    tokens = {t.strip() for t in tokens if t.strip() != ""}
+    return ";".join(sorted(tokens))
+
+
+DEFAULT_MERGE_FUNCTIONS = {
+    C.ORIGIN: merge_origin,
+    C.TITLE: merge_title,
+    C.AUTHOR: merge_author,
+    C.YEAR: merge_year,
+    C.JOURNAL: merge_container_title,
+    C.PAGES: merge_pages,
+}
+
+
+def merge(
+    records_df: DataFrame,
+    components: DataFrame,
+    merge_functions: dict | None = None,
+    origin_column: str = C.ORIGIN,
+) -> DataFrame:
+    """Collapse each duplicate cluster to one surviving row.
+
+    ``components`` is the DataFrame[ID, component] produced by the cluster
+    stage; records absent from it are untouched singletons. The surviving
+    row keeps the cluster's minimum ID (the reference's first-of-sorted
+    convention) with the pluggable per-column reducers applied.
+    """
+    functions = dict(DEFAULT_MERGE_FUNCTIONS)
+    if merge_functions:
+        functions.update(merge_functions)
+    if origin_column not in functions:
+        functions[origin_column] = merge_origin
+
+    df = records_df
+    string_cols = [c for c in df.columns]
+    for col in string_cols:
+        df = df.withColumn(col, F.coalesce(F.col(col).cast("string"), F.lit("")))
+    if origin_column not in df.columns:
+        df = df.withColumn(origin_column, F.col(C.ID))
+        string_cols.append(origin_column)
+
+    has_order = _ROW_ORDER in df.columns
+    if not has_order:
+        df = df.withColumn(_ROW_ORDER, F.monotonically_increasing_id())
+
+    # only multi-member components need survivorship
+    sizes = components.groupBy(C.COMPONENT).agg(F.count("*").alias("_n"))
+    clustered_ids = components.join(
+        sizes.filter(F.col("_n") > 1), C.COMPONENT
+    ).select(C.ID, C.COMPONENT)
+
+    # AQE promotes this to a broadcast join when the cluster map is small
+    tagged = df.join(clustered_ids, C.ID, "left")
+
+    untouched = tagged.filter(F.col(C.COMPONENT).isNull()).select(*string_cols)
+    to_merge = tagged.filter(F.col(C.COMPONENT).isNotNull())
+
+    out_cols = list(string_cols)
+    apply_cols = [c for c in out_cols if c in functions]
+
+    def survive(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_ROW_ORDER, kind="stable")
+        keep_id = min(pdf[C.ID])
+        keep = pdf[pdf[C.ID] == keep_id].iloc[[0]].copy()
+        for col in apply_cols:
+            keep[col] = functions[col](pdf[col].tolist())
+        return keep[out_cols]
+
+    schema = ", ".join(f"`{c}` string" for c in out_cols)
+    merged = to_merge.groupBy(C.COMPONENT).applyInPandas(survive, schema=schema)
+
+    return untouched.unionByName(merged)

@@ -1,0 +1,174 @@
+"""Prep stage: record normalization as a Spark plan.
+
+Behavioral spec: /root/reference/bib_dedupe/prep.py:75-254 (general prep
+:122-179, per-split normalization :75-119, derived blocking columns
+:240-246). The reference's process-pool row chunking (X1) disappears into
+Spark partition parallelism: the stage is
+
+  native column expressions (defaults, casts, sentinel sweeps,
+  container-title dispatch)  →  ONE mapInPandas pass applying the
+  Python normalizer cascade per Arrow batch  →  prepared records
+
+— zero shuffles; scans stay pruned to the record columns.
+"""
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
+
+from bib_dedupe_spark import constants as C
+from bib_dedupe_spark.functions import authors, containers, fields, schema_fix, titles
+
+# full-cell value rewrites (pandas .replace semantics = whole-cell equality,
+# see reference prep.py:85-96)
+_CELL_REPLACEMENTS = {
+    "UNKNOWN": "",
+    "n/a": "",
+    "N/A": "",
+    "NA": "",
+    "&amp;": "and",
+    " & ": " and ",
+    " + ": " and ",
+}
+
+_SENTINELS = ("#NAME?", "UNKNOWN")
+
+
+def _clean_column(df: DataFrame, name: str) -> Column:
+    """Cast to string, fix float artifacts, sweep sentinel values."""
+    col = F.col(name)
+    if isinstance(df.schema[name].dataType, (DoubleType, FloatType)):
+        # avoid "3.0" string artifacts from float-typed inputs
+        col = F.when(col.isNull(), "").otherwise(
+            col.cast("long").cast("string")
+        )
+    else:
+        col = col.cast("string")
+    col = F.coalesce(col, F.lit(""))
+    col = F.when(col.isin(*_SENTINELS), "").otherwise(col)
+    for old, new in _CELL_REPLACEMENTS.items():
+        col = F.when(col == old, new).otherwise(col)
+    return col.alias(name)
+
+
+def _prep_batches(iterator):
+    """Arrow-batched normalizer cascade (runs on executors)."""
+    variants = containers.load_journal_variants()
+    for pdf in iterator:
+        if pdf.empty:
+            yield pd.DataFrame(columns=C.PREPARED_FIELDS)
+            continue
+
+        pdf = pdf.copy()
+        pdf[C.AUTHOR_FULL] = pdf[C.AUTHOR]
+
+        fixed = [
+            schema_fix.fix_row(t, j, v, n, p, y)
+            for t, j, v, n, p, y in zip(
+                pdf[C.TITLE],
+                pdf[C.JOURNAL],
+                pdf[C.VOLUME],
+                pdf[C.NUMBER],
+                pdf[C.PAGES],
+                pdf[C.YEAR],
+            )
+        ]
+        (
+            pdf[C.TITLE],
+            pdf[C.JOURNAL],
+            pdf[C.VOLUME],
+            pdf[C.NUMBER],
+            pdf[C.PAGES],
+            pdf[C.YEAR],
+        ) = map(list, zip(*fixed))
+
+        pdf[C.AUTHOR] = [authors.norm_author(v) for v in pdf[C.AUTHOR]]
+        pdf[C.TITLE] = [titles.norm_title(v) for v in pdf[C.TITLE]]
+        pdf[C.CONTAINER_TITLE] = [
+            containers.norm_container_title(v, variants)
+            for v in pdf[C.CONTAINER_TITLE]
+        ]
+        pdf[C.YEAR] = [fields.norm_year(v) for v in pdf[C.YEAR]]
+        pdf[C.VOLUME] = [fields.norm_volume(v) for v in pdf[C.VOLUME]]
+        pdf[C.NUMBER] = [fields.norm_number(v) for v in pdf[C.NUMBER]]
+        pdf[C.PAGES] = [fields.norm_pages(v) for v in pdf[C.PAGES]]
+        pdf[C.ABSTRACT] = [fields.norm_abstract(v) for v in pdf[C.ABSTRACT]]
+        pdf[C.DOI] = [fields.norm_doi(v) for v in pdf[C.DOI]]
+
+        pdf[C.AUTHOR] = [authors.select_surnames(v) for v in pdf[C.AUTHOR]]
+
+        # years erroneously entered in the pages field
+        pdf.loc[pdf[C.PAGES] == pdf[C.YEAR], C.PAGES] = ""
+
+        # derived blocking columns; empty author → null first token
+        # (mirrors the reference's .str.split().str[0] NaN, prep.py:241)
+        pdf[C.AUTHOR_FIRST] = [
+            v.split()[0] if v.split() else None for v in pdf[C.AUTHOR]
+        ]
+        pdf[C.TITLE_SHORT] = [" ".join(v.split()[:10]) for v in pdf[C.TITLE]]
+        pdf[C.CONTAINER_TITLE_SHORT] = [
+            containers.container_title_short(v) for v in pdf[C.CONTAINER_TITLE]
+        ]
+
+        out = pdf[C.PREPARED_FIELDS]
+        # literal-"nan" sweep over every column (reference prep.py:248-249)
+        out = out.where(out != "nan", "")
+        yield out
+
+
+def prep(records_df: DataFrame, validate: bool = True) -> DataFrame:
+    """Normalize a raw records DataFrame into the prepared record model."""
+    df = records_df
+
+    if C.ID not in df.columns:
+        df = df.withColumn(
+            C.ID, (F.monotonically_increasing_id() + 1).cast("string")
+        )
+    if C.ENTRYTYPE not in df.columns:
+        df = df.withColumn(C.ENTRYTYPE, F.lit("article"))
+
+    missing = [f for f in C.REQUIRED_FIELDS if f not in df.columns]
+    if missing:
+        raise ValueError(f"records are missing required fields: {missing}")
+
+    if validate:
+        total, distinct = df.select(
+            F.count(C.ID), F.count_distinct(C.ID)
+        ).first()
+        if total != distinct:
+            raise ValueError("ID column in records_df must be unique.")
+
+    for field in C.OPTIONAL_FIELDS:
+        if field not in df.columns:
+            df = df.withColumn(field, F.lit(""))
+
+    work_cols = [c for c in C.ALL_FIELDS if c != C.CONTAINER_TITLE] + [
+        C.JOURNAL,
+        C.BOOKTITLE,
+    ]
+    if C.CONTAINER_TITLE in df.columns:
+        work_cols.append(C.CONTAINER_TITLE)
+    # dedupe while preserving order
+    work_cols = list(dict.fromkeys(work_cols))
+    df = df.select(*[_clean_column(df, c) for c in work_cols])
+    existing_container = (
+        F.col(C.CONTAINER_TITLE)
+        if C.CONTAINER_TITLE in df.columns
+        else F.lit("")
+    )
+
+    # ENTRYTYPE-dispatched container title (prep_container_title.py:85-95)
+    df = df.withColumn(
+        C.CONTAINER_TITLE,
+        F.when(F.col(C.ENTRYTYPE) == "article", F.col(C.JOURNAL))
+        .when(
+            F.col(C.ENTRYTYPE).isin("inproceedings", "proceedings", "inbook"),
+            F.col(C.BOOKTITLE),
+        )
+        .when(F.col(C.ENTRYTYPE) == "book", F.col(C.TITLE))
+        .otherwise(existing_container),
+    )
+
+    return df.mapInPandas(_prep_batches, schema=C.PREPARED_SCHEMA)

@@ -1,0 +1,158 @@
+"""Decision rules: duplicate / non-duplicate / maybe predicates as Spark SQL.
+
+Behavioral spec: /root/reference/bib_dedupe/match_conditions.py (builders
+:19-50, 26 duplicate conditions :74-114, 8 veto conditions :116-134) and
+the maybe classification in match.py:103-123. The reference evaluates
+pandas ``query`` strings; here the same rule algebra is emitted as ANSI
+SQL predicate strings over the scored pair table and compiled by Catalyst
+into one fused filter. Parenthesization is explicit everywhere (pandas
+``&`` binds tighter than ``|``, same as SQL AND/OR).
+
+Extension point: pass custom rule lists to the match stage — these are
+plain SQL strings over the similarity + raw pair columns.
+"""
+from __future__ import annotations
+
+from bib_dedupe_spark import constants as C
+
+AUTHOR = C.AUTHOR
+TITLE = C.TITLE
+CONTAINER_TITLE = C.CONTAINER_TITLE
+YEAR = C.YEAR
+VOLUME = C.VOLUME
+NUMBER = C.NUMBER
+PAGES = C.PAGES
+ABSTRACT = C.ABSTRACT
+DOI = C.DOI
+PRA = C.PAGE_RANGES_ADJACENT
+ENTRYTYPE = C.ENTRYTYPE
+
+
+def mismatch(*keys: str) -> str:
+    """Each field present on both sides and different."""
+    return " AND ".join(
+        f" ({k}_1 != {k}_2 AND {k}_1 != '' AND {k}_2 != '') " for k in keys
+    )
+
+
+def sim_match(*fields: str, threshold: float = 1.0) -> str:
+    """Similarity meets the threshold AND both raw sides are non-empty."""
+    if threshold == 1.0:
+        sims = " AND ".join(f" ({f} = 1.0) " for f in fields)
+    else:
+        sims = " AND ".join(f" ({f} > {threshold}) " for f in fields)
+    non_empty = " AND ".join(
+        f" ({f}_1 != '' AND {f}_2 != '') " for f in fields
+    )
+    return f"({sims}) AND ({non_empty})"
+
+
+def non_contradicting(*keys: str) -> str:
+    """Raw values equal, or either side missing."""
+    return " AND ".join(
+        f" ( {k}_1 = {k}_2 OR {k}_1 = '' OR {k}_2 = '' ) " for k in keys
+    )
+
+
+def both_entrytypes(entrytype: str) -> str:
+    return f"({ENTRYTYPE}_1 = '{entrytype}' AND {ENTRYTYPE}_2 = '{entrytype}')"
+
+
+# graded author/title/container-title gates (match_conditions.py:53-61)
+au07_ti10_ct10 = f" {sim_match(TITLE, CONTAINER_TITLE)} AND {AUTHOR} > 0.7 "
+au10_ti07_ct10 = f" ({sim_match(AUTHOR, CONTAINER_TITLE)} AND {TITLE} > 0.7 ) "
+au10_ti10_ct07 = f" {sim_match(TITLE, AUTHOR)} AND {CONTAINER_TITLE} > 0.7 "
+au095_ti09_ct075 = (
+    f" ({AUTHOR} > 0.95 AND {TITLE} > 0.9 AND  {CONTAINER_TITLE} > 0.75) "
+)
+au08_ti09_ct09 = f" ({AUTHOR} > 0.8 AND {TITLE} > 0.9 AND {CONTAINER_TITLE} > 0.9) "
+au09_ti09_ctXX = f" ({AUTHOR} > 0.9 AND {TITLE} > 0.9) "
+auXX_ti095_ct095 = f" ({TITLE} > 0.95 AND {CONTAINER_TITLE} > 0.95) "
+au10_tiXX_ct10 = f" ({sim_match(AUTHOR)} AND {sim_match(CONTAINER_TITLE)}) "
+au10_ti10_ctNC = (
+    f" {sim_match(AUTHOR, TITLE)} AND {non_contradicting(CONTAINER_TITLE)} "
+)
+
+DUPLICATE_CONDITIONS = [
+    # substantial difference in exactly one of author/title/container
+    f"({au07_ti10_ct10} AND {sim_match(VOLUME, PAGES)})",
+    f"({au07_ti10_ct10} AND {non_contradicting(VOLUME, NUMBER, PAGES, YEAR, DOI)})",
+    f"({au10_ti07_ct10} AND {non_contradicting(NUMBER, PAGES, YEAR, DOI)})",
+    f"({au10_ti10_ct07} AND {non_contradicting(VOLUME, NUMBER, PAGES, YEAR, DOI)})",
+    # moderate differences across all three
+    f"({au08_ti09_ct09} AND {non_contradicting(VOLUME, NUMBER, YEAR, DOI)} AND {PAGES} > 0.75 )",
+    f"({au08_ti09_ct09} AND {non_contradicting(VOLUME, NUMBER, PAGES, DOI)})",
+    f"({au095_ti09_ct075} AND {non_contradicting(VOLUME, NUMBER, PAGES, YEAR, DOI)})",
+    f"({au095_ti09_ct075} AND {sim_match(NUMBER, PAGES)})",
+    f"({au095_ti09_ct075} AND {sim_match(VOLUME, NUMBER)})",
+    f"({au095_ti09_ct075} AND {sim_match(VOLUME, PAGES)})",
+    f"({au095_ti09_ct075} AND {sim_match(VOLUME)} AND {ABSTRACT} > 0.9)",
+    f"({au095_ti09_ct075} AND {sim_match(YEAR, ABSTRACT)})",
+    # inproceedings need a matching year
+    f"({au095_ti09_ct075} AND {both_entrytypes('inproceedings')} AND {sim_match(YEAR)})",
+    # updated records linked by DOI
+    f"({au07_ti10_ct10} AND {DOI} > 0.9)",
+    # author missing on either side
+    f"({auXX_ti095_ct095} AND {non_contradicting(VOLUME, NUMBER, PAGES, YEAR, DOI)})",
+    f"({auXX_ti095_ct095} AND {sim_match(VOLUME, NUMBER, PAGES, YEAR)} AND {non_contradicting(DOI, ABSTRACT)})",
+    # container missing (e.g. GROBID extractions)
+    f"({au10_ti10_ctNC} AND {sim_match(VOLUME, YEAR)} AND {non_contradicting(NUMBER, PAGES, DOI, ABSTRACT)})",
+    f"({au10_ti10_ctNC} AND {sim_match(YEAR, DOI)} AND {non_contradicting(VOLUME, NUMBER, PAGES, ABSTRACT)})",
+    f"({au10_ti10_ctNC} AND {sim_match(YEAR)} AND {non_contradicting(VOLUME, NUMBER, PAGES, DOI, ABSTRACT)})",
+    f"({au09_ti09_ctXX} AND {sim_match(PAGES, DOI)} AND {non_contradicting(VOLUME, NUMBER, ABSTRACT)} AND {YEAR} > 0.9)",
+    f"({au09_ti09_ctXX} AND ({sim_match(NUMBER)} AND {non_contradicting(PAGES)} OR {non_contradicting(NUMBER)} AND {sim_match(PAGES)}) AND {non_contradicting(VOLUME, YEAR, DOI, ABSTRACT)})",
+    f"({au09_ti09_ctXX} AND {sim_match(VOLUME, PAGES)})",
+    f"({au09_ti09_ctXX} AND {sim_match(PAGES, YEAR)} AND {non_contradicting(VOLUME, NUMBER, DOI)})",
+    # DOI-exact with strong corroboration
+    f"(({sim_match(DOI)} AND NOT (doi_1 = '' OR doi_2 = '')) AND ({TITLE} > 0.95) AND ({AUTHOR} > 0.9) AND ({YEAR} > 0.9)) AND {non_contradicting(CONTAINER_TITLE)} ",
+    # title mismatch but full bibliographic agreement
+    f"({au10_tiXX_ct10} AND {sim_match(VOLUME, NUMBER, PAGES, YEAR)} AND {non_contradicting(DOI)} AND ({ABSTRACT} > 0.95 OR {non_contradicting(ABSTRACT)}))",
+    # early-view (pages '1-…', missing volume) vs final version
+    f"({au095_ti09_ct075}"
+    f" AND {non_contradicting(DOI)}"
+    f" AND ((volume_1 != '' AND volume_2 = '') OR (volume_2 != '' AND volume_1 = ''))"
+    f" AND ((number_1 != '' AND number_2 = '') OR (number_2 != '' AND number_1 = '') OR {non_contradicting(NUMBER)})"
+    f" AND (pages_1 RLIKE '^1[-–]' OR pages_2 RLIKE '^1[-–]')"
+    f")",
+]
+
+NON_DUPLICATE_CONDITIONS = [
+    f"({mismatch(YEAR)} AND NOT ({sim_match(VOLUME)} OR {sim_match(NUMBER)} OR {sim_match(PAGES)} OR {sim_match(DOI)} OR {sim_match(CONTAINER_TITLE)}))",
+    f"({mismatch(TITLE)} AND ({PRA} = 'adjacent' OR {PRA} = 'non_overlapping'))",
+    f"(NOT (doi_1 = '' OR doi_2 = '') AND {DOI} < 0.8 AND NOT ({non_contradicting(AUTHOR, TITLE, YEAR, CONTAINER_TITLE, VOLUME, NUMBER, PAGES)}))",
+    f"({mismatch(VOLUME, NUMBER, PAGES)})",
+    # editorials: small volume/number/pages differences are meaningful
+    f"(contains(title_1, 'editor') AND length(title_1) < 60 AND ( {mismatch(VOLUME)} OR {mismatch(NUMBER)} OR {mismatch(PAGES)}))",
+    # journal vs conference/workshop venues
+    f"((contains({CONTAINER_TITLE}_1, 'j') AND "
+    f" NOT (contains({CONTAINER_TITLE}_1, 'conf') OR contains({CONTAINER_TITLE}_1, 'work') OR contains({CONTAINER_TITLE}_1, 'proc')) ) AND "
+    f" ( (contains({CONTAINER_TITLE}_2, 'conf') OR contains({CONTAINER_TITLE}_2, 'work') OR contains({CONTAINER_TITLE}_2, 'proc')) AND "
+    f"  NOT contains({CONTAINER_TITLE}_2, 'j') ))",
+    f"((contains({CONTAINER_TITLE}_2, 'j') AND "
+    f" NOT (contains({CONTAINER_TITLE}_2, 'conf') OR contains({CONTAINER_TITLE}_2, 'work') OR contains({CONTAINER_TITLE}_2, 'proc')) ) AND "
+    f" ( (contains({CONTAINER_TITLE}_1, 'conf') OR contains({CONTAINER_TITLE}_1, 'work') OR contains({CONTAINER_TITLE}_1, 'proc')) AND "
+    f"  NOT contains({CONTAINER_TITLE}_1, 'j') ))",
+    # inproceedings are sensitive to year mismatches
+    f"({both_entrytypes('inproceedings')} AND {mismatch(YEAR)})",
+]
+
+# maybe classification (match.py:106-123); the year-gap guard coalesces to
+# false so NULL arithmetic matches pandas NaN-comparison semantics
+MAYBE_CONDITION = (
+    f"({TITLE} > 0.85) AND ({AUTHOR} > 0.75)"
+    f" OR ({TITLE} > 0.8) AND ({ABSTRACT} > 0.8)"
+    f" OR ({TITLE} > 0.8) AND ({CONTAINER_TITLE} > 0.8)"
+    f" OR ({DOI} IS NULL OR {DOI} > 0.99 OR {DOI} = 0)"
+    f" AND NOT ("
+    f"   COALESCE(try_cast({YEAR}_1 AS DOUBLE) - try_cast({YEAR}_2 AS DOUBLE) > 1, false)"
+    f"   OR COALESCE(try_cast({YEAR}_2 AS DOUBLE) - try_cast({YEAR}_1 AS DOUBLE) > 1, false)"
+    f" )"
+)
+
+
+def duplicate_predicate() -> str:
+    return " OR ".join(DUPLICATE_CONDITIONS)
+
+
+def veto_predicate() -> str:
+    return "NOT (" + " OR ".join(NON_DUPLICATE_CONDITIONS) + ")"
