@@ -1,0 +1,205 @@
+"""Deterministic synthetic bibliographic corpus with labeled duplicates.
+
+Seed-fixed generator producing (records, golden duplicate pairs) for
+differential tests, F1 evaluation and benchmarks. Duplicate variants
+mirror the drift patterns of the reference's labeled cases
+(/root/reference/tests/test_cases.json): author abbreviation, venue
+abbreviation, upper-casing, dropped doi/pages/venue, ±1 year, early-view
+pages, HTML-tagged titles — plus true-negative traps (part 1 vs part 2,
+comment titles, adjacent page ranges, conference-vs-journal versions).
+"""
+from __future__ import annotations
+
+import random
+
+_WORDS = (
+    "adaptive distributed neural spectral robust scalable latent causal "
+    "dynamic sparse temporal spatial efficient probabilistic hierarchical "
+    "streaming relational convex generative contrastive federated graph "
+    "kernel bayesian stochastic entity resolution blocking matching "
+    "clustering similarity retrieval embedding attention transformer"
+).split()
+
+_SURNAMES = (
+    "wagner smith chen garcia mueller kim okafor rossi dubois tanaka "
+    "novak silva patel johansson kowalski murphy ivanov haddad berg lund"
+).split()
+
+_GIVEN = (
+    "Anna Bruno Carla David Elena Felix Gerit Hana Igor Julia Karl Lena "
+    "Marco Nadia Omar Paula Quentin Rosa Stefan Tara"
+).split()
+
+_VENUES = [
+    ("Journal of Information Systems", "article"),
+    ("International Journal of Data Engineering", "article"),
+    ("Transactions on Knowledge Discovery", "article"),
+    ("Annals of Applied Statistics", "article"),
+    ("European Journal of Operational Research", "article"),
+    ("Proceedings of the Conference on Management of Data", "inproceedings"),
+    ("Workshop on Web Information Retrieval", "inproceedings"),
+    ("American Journal of Epidemiology", "article"),
+    ("British Medical Journal", "article"),
+    ("Advances in Neural Information Processing", "inproceedings"),
+]
+
+
+def _title(rng: random.Random) -> str:
+    n = rng.randint(6, 12)
+    words = [rng.choice(_WORDS) for _ in range(n)]
+    return (" ".join(words)).capitalize()
+
+
+def _authors(rng: random.Random) -> list:
+    n = rng.randint(1, 5)
+    return [
+        (rng.choice(_SURNAMES).capitalize(), rng.choice(_GIVEN))
+        for _ in range(n)
+    ]
+
+
+def _fmt_authors_full(authors: list) -> str:
+    return " and ".join(f"{s}, {g}" for s, g in authors)
+
+
+def _fmt_authors_abbrev(authors: list) -> str:
+    return "; ".join(f"{g[0]}. {s}" for s, g in authors)
+
+
+def _abbrev_venue(venue: str) -> str:
+    return ".".join(w[:4].title() for w in venue.split() if len(w) > 3) + "."
+
+
+def generate(
+    n_base: int = 200,
+    dup_rate: float = 0.4,
+    seed: int = 42,
+) -> tuple:
+    """Return (records: list[dict], duplicate_pairs: set[frozenset]).
+
+    Each base record optionally gets one drifted duplicate variant; a
+    fraction of records get a hard true-negative sibling instead.
+    """
+    rng = random.Random(seed)
+    records: list = []
+    golden: set = set()
+    rid = 0
+
+    def next_id() -> str:
+        nonlocal rid
+        rid += 1
+        return f"r{rid:06d}"
+
+    for i in range(n_base):
+        venue, entrytype = rng.choice(_VENUES)
+        authors = _authors(rng)
+        year = rng.randint(1980, 2024)
+        volume = str(rng.randint(1, 120))
+        number = str(rng.randint(1, 12))
+        start = rng.randint(1, 900)
+        pages = f"{start}-{start + rng.randint(4, 40)}"
+        doi = f"10.{rng.randint(1000, 9999)}/{rng.randint(100000, 999999)}"
+        title = _title(rng)
+        base_id = next_id()
+        base = {
+            "ID": base_id,
+            "ENTRYTYPE": entrytype,
+            "author": _fmt_authors_full(authors),
+            "title": title,
+            "journal": venue if entrytype == "article" else "",
+            "booktitle": venue if entrytype != "article" else "",
+            "year": str(year),
+            "volume": volume,
+            "number": number,
+            "pages": pages,
+            "abstract": "",
+            "doi": doi if rng.random() < 0.7 else "",
+            "search_set": "",
+        }
+        records.append(base)
+
+        roll = rng.random()
+        if roll < dup_rate:
+            # drifted true duplicate
+            var = dict(base)
+            var["ID"] = next_id()
+            drift = rng.randint(0, 6)
+            if drift == 0:
+                var["author"] = _fmt_authors_abbrev(authors)
+                var["doi"] = ""
+            elif drift == 1:
+                var["title"] = title.upper()
+                var["journal"] = (
+                    _abbrev_venue(venue) if var["journal"] else ""
+                )
+                var["booktitle"] = (
+                    _abbrev_venue(venue) if var["booktitle"] else ""
+                )
+            elif drift == 2:
+                var["pages"] = ""
+                var["number"] = ""
+            elif drift == 3:
+                var["doi"] = ""
+                var["volume"] = ""
+                var["pages"] = "1-" + str(rng.randint(5, 30))  # early view
+            elif drift == 4:
+                var["title"] = f"<i>{title}</i> (Review)"
+            elif drift == 5:
+                var["year"] = str(year + 1)
+                var["doi"] = base["doi"]
+            else:
+                var["author"] = _fmt_authors_full(
+                    [(s.upper(), g) for s, g in authors]
+                )
+            records.append(var)
+            golden.add(frozenset((base_id, var["ID"])))
+        elif roll < dup_rate + 0.15:
+            # hard true negative
+            neg = dict(base)
+            neg["ID"] = next_id()
+            trap = rng.randint(0, 3)
+            if trap == 0:
+                neg["title"] = title + " part 2"
+                records[-1]["title"] = title + " part 1"
+                neg["pages"] = f"{start + 50}-{start + 80}"
+                neg["doi"] = ""
+            elif trap == 1:
+                neg["title"] = "Comment on " + title.lower()
+                neg["doi"] = ""
+                neg["pages"] = ""
+            elif trap == 2:
+                end = int(pages.split("-")[1])
+                neg["pages"] = f"{end + 1}-{end + 20}"  # adjacent range
+                neg["title"] = _title(rng).capitalize()
+                neg["doi"] = ""
+            else:
+                neg["year"] = str(year + 5)
+                neg["volume"] = str(int(volume) + 5)
+                neg["number"] = str((int(number) % 12) + 1)
+                neg["pages"] = f"{start + 200}-{start + 230}"
+                neg["doi"] = ""
+            records.append(neg)
+
+    return records, golden
+
+
+def pairwise_scores(found: set, golden: set) -> dict:
+    """Precision/recall/F1 of unordered duplicate pairs."""
+    tp = len(found & golden)
+    fp = len(found - golden)
+    fn = len(golden - found)
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return {
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }

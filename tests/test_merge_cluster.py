@@ -1,0 +1,93 @@
+"""Tests for the cluster and merge stages.
+
+Merge expectations mirror /root/reference/tests/merge_test.py:13-41;
+cluster tests pin the distributed connected-components semantics
+(min-ID labeling, chains, search-set splitting).
+"""
+from pyspark.sql import functions as F
+
+from bib_dedupe_spark.operators.cluster import cluster, connected_components
+from bib_dedupe_spark.operators.merge import merge
+
+
+def test_merge_survivorship(spark):
+    records = spark.createDataFrame(
+        [
+            ("001", "source1", "title1", "AUTHOR", "2000", "journal1", "1"),
+            ("002", "source2", "title2", "author2", "2001", "journal2", "11--20"),
+        ],
+        ["ID", "origin", "title", "author", "year", "journal", "pages"],
+    )
+    components = spark.createDataFrame(
+        [("001", "001"), ("002", "001")], ["ID", "component"]
+    )
+    merged = merge(records, components).collect()
+    assert len(merged) == 1
+    row = merged[0].asDict()
+    assert row["ID"] == "001"
+    assert row["origin"] == "source1;source2"
+    assert row["title"] == "title1"
+    assert row["author"] == "author2"
+    assert row["year"] == "2001"
+    assert row["journal"] == "journal1"
+    assert row["pages"] == "11--20"
+
+
+def test_merge_keeps_singletons(spark):
+    records = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("c", "z")], ["ID", "title"]
+    )
+    components = spark.createDataFrame(
+        [("a", "a"), ("b", "a")], ["ID", "component"]
+    )
+    merged = merge(records, components)
+    ids = sorted(r["ID"] for r in merged.collect())
+    assert ids == ["a", "c"]
+
+
+def test_connected_components_chain(spark):
+    # a chain plus a separate pair: CC must label by min ID
+    edges = spark.createDataFrame(
+        [("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("x1", "x2")],
+        ["src", "dst"],
+    )
+    got = {
+        r["ID"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        "n1": "n1",
+        "n2": "n1",
+        "n3": "n1",
+        "n4": "n1",
+        "x1": "x1",
+        "x2": "x1",
+    }
+
+
+def test_cluster_search_set_split(spark):
+    # two nodes of the same non-empty search_set cannot share a component
+    matched = spark.createDataFrame(
+        [
+            ("a", "s1", "s2", "b", "duplicate"),
+            ("b", "s2", "s1", "c", "duplicate"),
+        ],
+        ["ID_1", "search_set_1", "search_set_2", "ID_2", "duplicate_label"],
+    )
+    got = {r["ID"]: r["component"] for r in cluster(matched).collect()}
+    # a and c share search_set s1 → c (larger ID) is split out
+    assert got["a"] == "a"
+    assert got["b"] == "a"
+    assert got["c"] == "c"
+
+
+def test_cluster_ignores_maybe_edges(spark):
+    matched = spark.createDataFrame(
+        [
+            ("a", "", "", "b", "maybe"),
+            ("c", "", "", "d", "duplicate"),
+        ],
+        ["ID_1", "search_set_1", "search_set_2", "ID_2", "duplicate_label"],
+    )
+    got = {r["ID"]: r["component"] for r in cluster(matched).collect()}
+    assert got == {"c": "c", "d": "c"}
