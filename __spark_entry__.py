@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship bib-dedupe pipeline end-to-end on the
+sf0.001 documents table (adapted to the record model). ``queries()`` /
+``oracle_sql()`` expose one oracle-checked entry per implemented operator
+family from SURVEY.md §2 plus the training-data text/embedding ops; the
+Spark implementations and the DuckDB SQL live side-by-side in
+``bib_dedupe_spark/harness.py`` with identical column names and value
+derivations.
 """
 
 from __future__ import annotations
@@ -15,24 +17,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full prep→block→match→cluster→merge over sf0.001."""
+    from bib_dedupe_spark import block, cluster, match, merge, prep
+    from bib_dedupe_spark.sources.webpages import records_from_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    records = records_from_documents(docs)
+    prepared = prep(records)
+    pairs = block(prepared)
+    matched = match(pairs)
+    components = cluster(matched)
+    return merge(records, components)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from bib_dedupe_spark.harness import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (same column names/values)."""
+    from bib_dedupe_spark.harness import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,837 @@
+"""Driver-harness query catalog: Spark implementations + DuckDB oracles.
+
+Each entry maps one operator family from SURVEY.md §2 (or a training-data
+text/embedding op) onto the driver-provided parquet tables
+(documents / embeddings / orders / events). Every Spark query has an
+ANSI-SQL oracle with IDENTICAL column names and value derivations, so the
+driver's row-count/schema/value-hash comparison is exact. Numeric outputs
+are integers or strings wherever engine float formatting could differ.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _with_tok(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("tok", F.element_at(F.split("text", " "), 1))
+
+
+# ---------------------------------------------------------------- S1/P1/F2
+
+def q_scan_project(spark, sf_dir):
+    """Pushdown-friendly scan: filter + projection (S1, P1)."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("n_chars") > 200)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_derived_columns(spark, sf_dir):
+    """Derived blocking columns: first token, short text, initialism (P3)."""
+    docs = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.element_at(words, 1).alias("first_tok"),
+        F.array_join(F.slice(words, 1, 10), " ").alias("short_text"),
+        F.array_join(
+            F.transform(F.slice(words, 1, 5), lambda w: F.substring(w, 1, 1)),
+            "",
+        ).alias("initialism"),
+    )
+
+
+def q_nonempty_key_filter(spark, sf_dir):
+    """Non-empty blocking-key pre-filter (F2)."""
+    return (
+        _with_tok(_docs(spark, sf_dir))
+        .filter((F.col("tok") != "") & (F.col("lang") != ""))
+        .select("doc_id", "tok", "lang")
+    )
+
+
+# ------------------------------------------------------------------ J1/A1
+
+def _block_pairs(spark, sf_dir):
+    keyed = _with_tok(_docs(spark, sf_dir)).select("doc_id", "lang", "tok")
+    a = keyed.select(
+        F.col("doc_id").alias("id1"), "lang", "tok"
+    )
+    b = keyed.select(F.col("doc_id").alias("id2"), "lang", "tok")
+    return a.join(b, ["lang", "tok"]).filter(F.col("id1") < F.col("id2"))
+
+
+def q_block_pairs(spark, sf_dir):
+    """Blocking self-equi-join pair generation (J1/A1)."""
+    return _block_pairs(spark, sf_dir).select("id1", "id2", "lang", "tok")
+
+
+def _bucket_pairs(spark, sf_dir):
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("int").alias("bucket"),
+    )
+    a = keyed.select(F.col("doc_id").alias("id1"), "lang", "bucket")
+    b = keyed.select(F.col("doc_id").alias("id2"), "lang", "bucket")
+    return a.join(b, ["lang", "bucket"]).filter(F.col("id1") < F.col("id2"))
+
+
+def q_block_rule_attrib(spark, sf_dir):
+    """Multi-rule union: first-rule attribution + ALL-flag agg (O1/A2/A3)."""
+    r0 = _block_pairs(spark, sf_dir).select(
+        "id1", "id2", F.lit(0).alias("rule_idx"), F.lit(0).alias("rto")
+    )
+    r1 = _bucket_pairs(spark, sf_dir).select(
+        "id1", "id2", F.lit(1).alias("rule_idx"), F.lit(1).alias("rto")
+    )
+    return (
+        r0.unionByName(r1)
+        .groupBy("id1", "id2")
+        .agg(
+            F.min("rule_idx").alias("rule_idx"),
+            F.min("rto").alias("require_overlap"),
+        )
+    )
+
+
+def q_same_set_prune(spark, sf_dir):
+    """Same-search_set pair pruning (F3)."""
+    docs = _docs(spark, sf_dir)
+    pairs = _block_pairs(spark, sf_dir)
+    s1 = docs.select(F.col("doc_id").alias("id1"), F.col("source").alias("source_1"))
+    s2 = docs.select(F.col("doc_id").alias("id2"), F.col("source").alias("source_2"))
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(F.col("source_1") != F.col("source_2"))
+        .select("id1", "id2", "source_1", "source_2")
+    )
+
+
+def q_token_overlap_prune(spark, sf_dir):
+    """Token-overlap pruning with set-intersection semantics (F4)."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    pairs = _bucket_pairs(spark, sf_dir).select("id1", "id2")
+    w1 = docs.select(F.col("doc_id").alias("id1"), F.col("w").alias("w1"))
+    w2 = docs.select(F.col("doc_id").alias("id2"), F.col("w").alias("w2"))
+    joined = pairs.join(w1, "id1").join(w2, "id2")
+    shared = F.size(F.array_intersect("w1", "w2"))
+    denom = F.least(F.size("w1") + 1, F.size("w2") + 1)
+    return (
+        joined.select(
+            "id1", "id2", shared.alias("shared"), denom.alias("denom")
+        )
+        .filter(2 * F.col("shared") >= F.col("denom"))
+    )
+
+
+def q_enrich_join(spark, sf_dir):
+    """Pair-enrichment joins, one per side (J2)."""
+    docs = _docs(spark, sf_dir)
+    pairs = _block_pairs(spark, sf_dir).select("id1", "id2")
+    e1 = docs.select(
+        F.col("doc_id").alias("id1"),
+        F.col("n_chars").alias("n_chars_1"),
+        F.col("source").alias("source_1"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("id2"),
+        F.col("n_chars").alias("n_chars_2"),
+        F.col("source").alias("source_2"),
+    )
+    return pairs.join(e1, "id1").join(e2, "id2").select(
+        "id1", "id2", "n_chars_1", "n_chars_2", "source_1", "source_2"
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """Maybe-minus-true anti-join (J3)."""
+    maybe = _bucket_pairs(spark, sf_dir).select("id1", "id2")
+    true_pairs = _block_pairs(spark, sf_dir).select("id1", "id2")
+    return maybe.join(true_pairs, ["id1", "id2"], "left_anti")
+
+
+# ------------------------------------------------------------- rule layer
+
+def q_sim_year_ladder(spark, sf_dir):
+    """Graded year-similarity CASE ladder (SIM4), integer-scaled."""
+    orders = _orders(spark, sf_dir)
+    year = F.year("o_orderdate")
+    gap = F.abs(year - F.lit(2020))
+    sim = (
+        F.when(gap == 0, 100)
+        .when(gap == 1, 95)
+        .when(gap == 2, 80)
+        .otherwise(0)
+    )
+    return orders.select(
+        "o_orderkey", year.alias("order_year"), sim.alias("year_sim_pct")
+    )
+
+
+def q_rule_engine(spark, sf_dir):
+    """Duplicate/veto rule evaluation over a scored pair table (R1-R7)."""
+    docs = _docs(spark, sf_dir)
+    pairs = _block_pairs(spark, sf_dir).select("id1", "id2")
+    e1 = docs.select(
+        F.col("doc_id").alias("id1"),
+        F.col("n_chars").alias("nc1"),
+        F.col("source").alias("src1"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("id2"),
+        F.col("n_chars").alias("nc2"),
+        F.col("source").alias("src2"),
+    )
+    scored = pairs.join(e1, "id1").join(e2, "id2")
+    gap = F.abs(F.col("nc1") - F.col("nc2"))
+    len_sim = (
+        F.when(gap == 0, 100)
+        .when(gap <= 20, 95)
+        .when(gap <= 50, 80)
+        .otherwise(0)
+    )
+    scored = scored.withColumn("len_sim_pct", len_sim)
+    label = F.when(
+        (F.col("len_sim_pct") >= 95) & (F.col("src1") != F.col("src2")),
+        "duplicate",
+    ).when(F.col("len_sim_pct") >= 80, "maybe").otherwise("no")
+    return scored.select("id1", "id2", "len_sim_pct", label.alias("label"))
+
+
+# ---------------------------------------------------------------- graph
+
+def _zh_edges(spark, sf_dir):
+    return (
+        _block_pairs(spark, sf_dir)
+        .filter(F.col("lang") == "zh")
+        .select("id1", "id2")
+    )
+
+
+def q_cc_min_step(spark, sf_dir):
+    """One min-label propagation step of connected components (G2)."""
+    edges = _zh_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("id1").alias("node"), F.col("id2").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("id2").alias("node"), F.col("id1").alias("nbr"))
+    )
+    return sym.groupBy("node").agg(
+        F.least(F.min("nbr"), F.first("node")).alias("label")
+    )
+
+
+def q_cluster_components(spark, sf_dir):
+    """Full iterative connected components (G2) — oracle: recursive CTE."""
+    from bib_dedupe_spark.operators.cluster import connected_components
+
+    edges = _zh_edges(spark, sf_dir).select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    )
+    return connected_components(edges).select(
+        F.col("ID").alias("node"), F.col("component").alias("component")
+    )
+
+
+def q_survivor_origin(spark, sf_dir):
+    """Survivorship aggregates: min-ID keep row, origin union, max (SV1-6)."""
+    docs = _with_tok(_docs(spark, sf_dir))
+    return docs.groupBy("lang", "tok").agg(
+        F.min("doc_id").alias("representative"),
+        F.count("*").alias("n_members"),
+        F.array_join(F.array_sort(F.collect_set("source")), ";").alias(
+            "origins"
+        ),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ------------------------------------------------------- text/training ops
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup via content hash → representative + group size."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("fingerprint", F.md5(F.lower("text")))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("representative"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _shingles(spark, sf_dir, lang):
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("lang") == lang)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("w"), i),
+            F.element_at(F.col("w"), i + 1),
+            F.element_at(F.col("w"), i + 2),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash + banded LSH near-dup candidates (md5 minwise hashing)."""
+    shingled = _shingles(spark, sf_dir, "en")
+    seeds = F.sequence(F.lit(0), F.lit(7))
+    hashed = shingled.select(
+        "doc_id",
+        F.explode(seeds).alias("seed"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(
+            F.concat_ws("|", F.col("seed").cast("string"), "shingle")
+        ).alias("h"),
+    )
+    minhash = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    bands = (
+        minhash.withColumn("band", F.floor(F.col("seed") / 4).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seed", "mh"))
+                    ),
+                    lambda s: s["mh"],
+                ),
+                "",
+            ).alias("sig")
+        )
+    )
+    b1 = bands.select(F.col("doc_id").alias("id1"), "band", "sig")
+    b2 = bands.select(F.col("doc_id").alias("id2"), "band", "sig")
+    return (
+        b1.join(b2, ["band", "sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """3-gram Jaccard near-dup scoring over blocked pairs (integer form)."""
+    sh = _shingles(spark, sf_dir, "fr")
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        _block_pairs(spark, sf_dir)
+        .filter(F.col("lang") == "fr")
+        .select("id1", "id2")
+    )
+    shared = (
+        pairs.join(sh.select(F.col("doc_id").alias("id1"), "shingle"), "id1")
+        .join(
+            sh.select(F.col("doc_id").alias("id2"), "shingle"),
+            ["id2", "shingle"],
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("shared"))
+    )
+    c1 = counts.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
+    c2 = counts.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        pairs.join(shared, ["id1", "id2"], "left")
+        .fillna({"shared": 0})
+        .join(c1, "id1")
+        .join(c2, "id2")
+        .select(
+            "id1",
+            "id2",
+            "shared",
+            (F.col("n1") + F.col("n2") - F.col("shared")).alias("union_size"),
+        )
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting / doc statistics."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    return docs.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_uniq"),
+        F.aggregate(
+            F.transform("w", F.length),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("token_chars"),
+    )
+
+
+def q_quality_flags(spark, sf_dir):
+    """Heuristic quality scoring: stopword ratio + length gates."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", F.split("text", " ").alias("w")
+    )
+    is_stop = lambda t: (  # noqa: E731
+        (t == STOPWORDS[0])
+        | (t == STOPWORDS[1])
+        | (t == STOPWORDS[2])
+        | (t == STOPWORDS[3])
+        | (t == STOPWORDS[4])
+    )
+    n_stop = F.size(F.filter("w", is_stop))
+    n_tokens = F.size("w")
+    stop_pct = F.floor(100 * n_stop / n_tokens).cast("int")
+    quality = (
+        F.when((F.col("n_chars") >= 100) & (stop_pct < 40), "good")
+        .when(F.col("n_chars") >= 100, "stopword_heavy")
+        .otherwise("too_short")
+    )
+    return docs.select(
+        "doc_id",
+        n_stop.alias("n_stop"),
+        n_tokens.alias("n_tokens"),
+        stop_pct.alias("stop_pct"),
+        quality.alias("quality"),
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash over distinct tokens (md5-derived bit planes)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    hexv = F.expr(
+        "(instr('0123456789abcdef', substring(md5(t),1,1)) - 1) * 4096"
+        " + (instr('0123456789abcdef', substring(md5(t),2,1)) - 1) * 256"
+        " + (instr('0123456789abcdef', substring(md5(t),3,1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(md5(t),4,1)) - 1)"
+    )
+    toks = docs.select("doc_id", hexv.alias("hv"))
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+        "hv",
+    ).select(
+        "doc_id",
+        "j",
+        (
+            2
+            * (
+                F.floor(
+                    F.col("hv") / F.pow(F.lit(2), F.col("j"))
+                ).cast("long")
+                % 2
+            )
+            - 1
+        ).alias("contrib"),
+    )
+    sums = bits.groupBy("doc_id", "j").agg(F.sum("contrib").alias("s"))
+    return sums.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("j"),
+                            F.when(F.col("s") > 0, "1").otherwise("0").alias(
+                                "b"
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["b"],
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+# ----------------------------------------------------------- embeddings
+
+def _unit_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k neighbors for a query subset (ANN baseline)."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    dot = _unit_dot(F.col("qv"), F.col("cv"))
+    n1 = _unit_dot(F.col("qv"), F.col("qv"))
+    n2 = _unit_dot(F.col("cv"), F.col("cv"))
+    cosine = dot / F.sqrt(n1 * n2)
+    scored = (
+        queries.crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def q_embedding_sign_lsh(spark, sf_dir):
+    """Sign-based LSH bucketing of embeddings (scale path for ANN)."""
+    emb = _embeddings(spark, sf_dir)
+    bucket = F.array_join(
+        F.transform(
+            F.slice("embedding", 1, 8),
+            lambda x: F.when(x >= 0, "1").otherwise("0"),
+        ),
+        "",
+    )
+    return emb.select("vec_id", "label", bucket.alias("bucket"))
+
+
+# ------------------------------------------------------------- misc aggs
+
+def q_events_agg(spark, sf_dir):
+    """Per-user event aggregate (A5-7 style) with integer-scaled metrics."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.floor(F.max("value") * 100).cast("long").alias("max_value_cents"),
+        )
+    )
+
+
+def q_top_orders(spark, sf_dir):
+    """Sort + limit (O4/O6), integer-scaled."""
+    return (
+        _orders(spark, sf_dir)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias(
+                "price_cents"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "scan_project": q_scan_project,
+    "derived_columns": q_derived_columns,
+    "nonempty_key_filter": q_nonempty_key_filter,
+    "block_pairs": q_block_pairs,
+    "block_rule_attrib": q_block_rule_attrib,
+    "same_set_prune": q_same_set_prune,
+    "token_overlap_prune": q_token_overlap_prune,
+    "enrich_join": q_enrich_join,
+    "anti_join": q_anti_join,
+    "sim_year_ladder": q_sim_year_ladder,
+    "rule_engine": q_rule_engine,
+    "cc_min_step": q_cc_min_step,
+    "cluster_components": q_cluster_components,
+    "survivor_origin": q_survivor_origin,
+    "exact_dedup": q_exact_dedup,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "token_stats": q_token_stats,
+    "quality_flags": q_quality_flags,
+    "simhash": q_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_sign_lsh": q_embedding_sign_lsh,
+    "events_agg": q_events_agg,
+    "top_orders": q_top_orders,
+}
+
+
+_PAIR_CTE = (
+    "WITH k AS (SELECT doc_id, lang, split_part(text,' ',1) AS tok"
+    " FROM documents), "
+    "pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.lang AS lang,"
+    " a.tok AS tok FROM k a JOIN k b ON a.lang = b.lang AND a.tok = b.tok"
+    " AND a.doc_id < b.doc_id)"
+)
+
+_BUCKET_CTE = (
+    "WITH kb AS (SELECT doc_id, lang,"
+    " CAST(n_chars // 100 AS INT) AS bucket FROM documents), "
+    "bpairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM kb a"
+    " JOIN kb b ON a.lang = b.lang AND a.bucket = b.bucket"
+    " AND a.doc_id < b.doc_id)"
+)
+
+_SHINGLE_CTE_TMPL = (
+    "sh AS ("
+    " SELECT doc_id, unnest(list_distinct(list_transform("
+    "   range(1, len(string_split(text,' ')) - 1),"
+    "   i -> string_split(text,' ')[i] || ' ' ||"
+    "        string_split(text,' ')[i+1] || ' ' ||"
+    "        string_split(text,' ')[i+2]))) AS shingle"
+    " FROM documents"
+    " WHERE lang = '{lang}' AND len(string_split(text,' ')) >= 3)"
+)
+
+
+ORACLES = {
+    "scan_project": (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200"
+    ),
+    "derived_columns": (
+        "SELECT doc_id, split_part(text,' ',1) AS first_tok,"
+        " array_to_string(string_split(text,' ')[1:10], ' ') AS short_text,"
+        " array_to_string(list_transform(string_split(text,' ')[1:5],"
+        "   w -> w[1]), '') AS initialism"
+        " FROM documents"
+    ),
+    "nonempty_key_filter": (
+        "SELECT doc_id, split_part(text,' ',1) AS tok, lang FROM documents"
+        " WHERE split_part(text,' ',1) != '' AND lang != ''"
+    ),
+    "block_pairs": _PAIR_CTE + " SELECT id1, id2, lang, tok FROM pairs",
+    "block_rule_attrib": (
+        "WITH k AS (SELECT doc_id, lang, split_part(text,' ',1) AS tok,"
+        " CAST(n_chars // 100 AS INT) AS bucket FROM documents), "
+        "r0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, 0 AS rule_idx,"
+        " 0 AS rto FROM k a JOIN k b ON a.lang = b.lang AND a.tok = b.tok"
+        " AND a.doc_id < b.doc_id), "
+        "r1 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, 1 AS rule_idx,"
+        " 1 AS rto FROM k a JOIN k b ON a.lang = b.lang AND"
+        " a.bucket = b.bucket AND a.doc_id < b.doc_id) "
+        "SELECT id1, id2, MIN(rule_idx) AS rule_idx, MIN(rto) AS"
+        " require_overlap FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1)"
+        " GROUP BY id1, id2"
+    ),
+    "same_set_prune": (
+        _PAIR_CTE
+        + " SELECT p.id1, p.id2, d1.source AS source_1, d2.source AS source_2"
+        " FROM pairs p JOIN documents d1 ON d1.doc_id = p.id1"
+        " JOIN documents d2 ON d2.doc_id = p.id2"
+        " WHERE d1.source != d2.source"
+    ),
+    "token_overlap_prune": (
+        _BUCKET_CTE
+        + " SELECT p.id1, p.id2,"
+        " len(list_distinct(list_intersect(string_split(d1.text,' '),"
+        "   string_split(d2.text,' ')))) AS shared,"
+        " least(len(string_split(d1.text,' ')) + 1,"
+        "   len(string_split(d2.text,' ')) + 1) AS denom"
+        " FROM bpairs p JOIN documents d1 ON d1.doc_id = p.id1"
+        " JOIN documents d2 ON d2.doc_id = p.id2"
+        " WHERE 2 * len(list_distinct(list_intersect("
+        "   string_split(d1.text,' '), string_split(d2.text,' '))))"
+        " >= least(len(string_split(d1.text,' ')) + 1,"
+        "   len(string_split(d2.text,' ')) + 1)"
+    ),
+    "enrich_join": (
+        _PAIR_CTE
+        + " SELECT p.id1, p.id2, d1.n_chars AS n_chars_1,"
+        " d2.n_chars AS n_chars_2, d1.source AS source_1,"
+        " d2.source AS source_2"
+        " FROM pairs p JOIN documents d1 ON d1.doc_id = p.id1"
+        " JOIN documents d2 ON d2.doc_id = p.id2"
+    ),
+    "anti_join": (
+        "WITH k AS (SELECT doc_id, lang, split_part(text,' ',1) AS tok,"
+        " CAST(n_chars // 100 AS INT) AS bucket FROM documents), "
+        "tp AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM k a JOIN k b"
+        " ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id), "
+        "mp AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM k a JOIN k b"
+        " ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"
+        " SELECT mp.id1, mp.id2 FROM mp LEFT JOIN tp"
+        " ON mp.id1 = tp.id1 AND mp.id2 = tp.id2 WHERE tp.id1 IS NULL"
+    ),
+    "sim_year_ladder": (
+        "SELECT o_orderkey, year(o_orderdate) AS order_year,"
+        " CASE abs(year(o_orderdate) - 2020) WHEN 0 THEN 100 WHEN 1 THEN 95"
+        " WHEN 2 THEN 80 ELSE 0 END AS year_sim_pct FROM orders"
+    ),
+    "rule_engine": (
+        _PAIR_CTE
+        + ", scored AS (SELECT p.id1, p.id2,"
+        " CASE WHEN abs(d1.n_chars - d2.n_chars) = 0 THEN 100"
+        " WHEN abs(d1.n_chars - d2.n_chars) <= 20 THEN 95"
+        " WHEN abs(d1.n_chars - d2.n_chars) <= 50 THEN 80 ELSE 0 END"
+        "  AS len_sim_pct, d1.source AS src1, d2.source AS src2"
+        " FROM pairs p JOIN documents d1 ON d1.doc_id = p.id1"
+        " JOIN documents d2 ON d2.doc_id = p.id2)"
+        " SELECT id1, id2, len_sim_pct,"
+        " CASE WHEN len_sim_pct >= 95 AND src1 != src2 THEN 'duplicate'"
+        " WHEN len_sim_pct >= 80 THEN 'maybe' ELSE 'no' END AS label"
+        " FROM scored"
+    ),
+    "cc_min_step": (
+        _PAIR_CTE
+        + ", zh AS (SELECT id1, id2 FROM pairs WHERE lang = 'zh'),"
+        " sym AS (SELECT id1 AS node, id2 AS nbr FROM zh"
+        " UNION ALL SELECT id2, id1 FROM zh)"
+        " SELECT node, least(min(nbr), node) AS label FROM sym GROUP BY node"
+    ),
+    "cluster_components": (
+        "WITH RECURSIVE k AS (SELECT doc_id, lang, split_part(text,' ',1)"
+        " AS tok FROM documents), "
+        "zh AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM k a JOIN k b"
+        " ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id"
+        " WHERE a.lang = 'zh'), "
+        "e AS (SELECT id1 AS src, id2 AS dst FROM zh"
+        " UNION SELECT id2, id1 FROM zh), "
+        "r AS (SELECT src AS node, src AS comp FROM e"
+        " UNION SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.node"
+        " WHERE r.comp < e.dst)"
+        " SELECT node, min(comp) AS component FROM r GROUP BY node"
+    ),
+    "survivor_origin": (
+        "SELECT lang, split_part(text,' ',1) AS tok,"
+        " min(doc_id) AS representative, count(*) AS n_members,"
+        " array_to_string(list_sort(list_distinct(list(source))), ';')"
+        "  AS origins,"
+        " max(n_chars) AS max_chars"
+        " FROM documents GROUP BY lang, split_part(text,' ',1)"
+    ),
+    "exact_dedup": (
+        "SELECT md5(lower(text)) AS fingerprint, min(doc_id) AS"
+        " representative, count(*) AS n_copies FROM documents"
+        " GROUP BY md5(lower(text))"
+    ),
+    "minhash_lsh_pairs": (
+        "WITH "
+        + _SHINGLE_CTE_TMPL.format(lang="en")
+        + ", hashed AS (SELECT doc_id, seed,"
+        " md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h"
+        " FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)), "
+        "mh AS (SELECT doc_id, seed, min(h) AS mh FROM hashed"
+        " GROUP BY doc_id, seed), "
+        "bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,"
+        " string_agg(mh, '' ORDER BY seed) AS sig FROM mh"
+        " GROUP BY doc_id, CAST(seed // 4 AS INT))"
+        " SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a"
+        " JOIN bands b ON a.band = b.band AND a.sig = b.sig"
+        " AND a.doc_id < b.doc_id"
+    ),
+    "ngram_jaccard": (
+        "WITH "
+        + _SHINGLE_CTE_TMPL.format(lang="fr")
+        + ", k AS (SELECT doc_id, lang, split_part(text,' ',1) AS tok"
+        " FROM documents), "
+        "pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM k a"
+        " JOIN k b ON a.lang = b.lang AND a.tok = b.tok"
+        " AND a.doc_id < b.doc_id WHERE a.lang = 'fr'), "
+        "counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "shared AS (SELECT p.id1, p.id2, count(*) AS shared FROM pairs p"
+        " JOIN sh s1 ON s1.doc_id = p.id1"
+        " JOIN sh s2 ON s2.doc_id = p.id2 AND s2.shingle = s1.shingle"
+        " GROUP BY p.id1, p.id2)"
+        " SELECT p.id1, p.id2, COALESCE(s.shared, 0) AS shared,"
+        " c1.n_sh + c2.n_sh - COALESCE(s.shared, 0) AS union_size"
+        " FROM pairs p LEFT JOIN shared s ON s.id1 = p.id1 AND s.id2 = p.id2"
+        " JOIN counts c1 ON c1.doc_id = p.id1"
+        " JOIN counts c2 ON c2.doc_id = p.id2"
+    ),
+    "token_stats": (
+        "SELECT doc_id, len(string_split(text,' ')) AS n_tokens,"
+        " len(list_distinct(string_split(text,' '))) AS n_uniq,"
+        " list_sum(list_transform(string_split(text,' '), w -> len(w)))"
+        "  AS token_chars"
+        " FROM documents"
+    ),
+    "quality_flags": (
+        "WITH t AS (SELECT doc_id, n_chars,"
+        " len(string_split(text,' ')) AS n_tokens,"
+        " len(list_filter(string_split(text,' '),"
+        "   w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'in'))"
+        "  AS n_stop FROM documents)"
+        " SELECT doc_id, n_stop, n_tokens,"
+        " CAST(floor(100 * n_stop / n_tokens) AS INT) AS stop_pct,"
+        " CASE WHEN n_chars >= 100 AND floor(100 * n_stop / n_tokens) < 40"
+        " THEN 'good' WHEN n_chars >= 100 THEN 'stopword_heavy'"
+        " ELSE 'too_short' END AS quality FROM t"
+    ),
+    "simhash": (
+        "WITH toks AS (SELECT doc_id, unnest(list_distinct("
+        " string_split(text,' '))) AS t FROM documents), "
+        "hv AS (SELECT doc_id,"
+        " (strpos('0123456789abcdef', md5(t)[1]) - 1) * 4096"
+        " + (strpos('0123456789abcdef', md5(t)[2]) - 1) * 256"
+        " + (strpos('0123456789abcdef', md5(t)[3]) - 1) * 16"
+        " + (strpos('0123456789abcdef', md5(t)[4]) - 1) AS v FROM toks), "
+        "bits AS (SELECT doc_id, j, 2 * ((v // CAST(pow(2, j) AS BIGINT)) % 2)"
+        " - 1 AS contrib FROM hv CROSS JOIN"
+        " (SELECT unnest(range(16)) AS j)), "
+        "s AS (SELECT doc_id, j, sum(contrib) AS s FROM bits"
+        " GROUP BY doc_id, j)"
+        " SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,"
+        " '' ORDER BY j) AS simhash FROM s GROUP BY doc_id"
+    ),
+    "embedding_topk": (
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings), "
+        "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        " list_dot_product(q.v, c.v) /"
+        " sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v))"
+        "  AS cos"
+        " FROM e q CROSS JOIN e c"
+        " WHERE q.vec_id < 5 AND q.vec_id != c.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER"
+        " (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)"
+        "  AS rank FROM scored)"
+        " SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3"
+    ),
+    "embedding_sign_lsh": (
+        "SELECT vec_id, label,"
+        " array_to_string(list_transform(embedding[1:8],"
+        "   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket"
+        " FROM embeddings"
+    ),
+    "events_agg": (
+        "SELECT user_id, count(*) AS n_events,"
+        " count(DISTINCT event_type) AS n_types,"
+        " CAST(floor(max(value) * 100) AS BIGINT) AS max_value_cents"
+        " FROM events GROUP BY user_id"
+    ),
+    "top_orders": (
+        "SELECT o_orderkey, o_custkey,"
+        " CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents"
+        " FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"
+    ),
+}

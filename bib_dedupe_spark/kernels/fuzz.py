@@ -131,6 +131,18 @@ def _best_window_similarity(needle: str, haystack: str) -> float:
     return best
 
 
+# above this work size, the vectorized multi-window scan wins
+_NP_WINDOW_THRESHOLD = 4000
+
+
+def _window_scan(shorter: str, longer: str) -> float:
+    if len(shorter) * len(longer) >= _NP_WINDOW_THRESHOLD:
+        from bib_dedupe_spark.kernels import fuzz_np
+
+        return fuzz_np.best_window_similarity(shorter, longer)
+    return _best_window_similarity(shorter, longer)
+
+
 def partial_ratio(s1: str, s2: str) -> float:
     """Best ratio of the shorter string over windows of the longer one."""
     if len(s1) == 0 and len(s2) == 0:
@@ -138,10 +150,10 @@ def partial_ratio(s1: str, s2: str) -> float:
     if len(s1) == 0 or len(s2) == 0:
         return 0.0
     shorter, longer = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
-    best = _best_window_similarity(shorter, longer)
+    best = _window_scan(shorter, longer)
     if best != 1.0 and len(s1) == len(s2):
         # equal lengths: the window scan is not symmetric, try both roles
-        other = _best_window_similarity(longer, shorter)
+        other = _window_scan(longer, shorter)
         if other > best:
             best = other
     return best * 100.0

@@ -73,11 +73,12 @@ def sim_author(a1: str, full1: str, a2: str, full2: str) -> float:
     a1 = a1.replace("vander", "")
     a2 = a2.replace("vander", "")
 
+    # the result is max(truncated, partial, initials, full) capped at 1.0;
+    # compute the cheap token-sort signals first and skip the window scan
+    # (partial_ratio) once the cap is reached — exact under max semantics
     truncated = 0.0
     if len(a1) > 200 or len(a2) > 200:
         truncated = fuzz.token_sort_ratio(a1[:200], a2[:200]) / 100
-
-    partial = fuzz.partial_ratio(a1, a2) / 100
 
     initials = 0.0
     if len(full1) > 5 and len(full2) > 5:
@@ -89,7 +90,10 @@ def sim_author(a1: str, full1: str, a2: str, full2: str) -> float:
     if full1 != "" and full2 != "":
         full = fuzz.token_sort_ratio(full1, full2) / 100
 
-    return max(truncated, partial, initials, full)
+    best = max(truncated, initials, full)
+    if best >= 1.0:
+        return 1.0
+    return max(best, fuzz.partial_ratio(a1, a2) / 100)
 
 
 def sim_page(p1: str, p2: str) -> float:
@@ -255,14 +259,15 @@ def sim_abstract(a1: str, a2: str) -> float:
     n2 = _normalize_abstract(a2)
     if not n1 or not n2:
         return 0.0
-    return (
-        max(
-            fuzz.ratio(n1, n2),
-            fuzz.partial_ratio(n1, n2),
-            fuzz.token_set_ratio(n1, n2),
-        )
-        / 100.0
-    )
+    if n1 == n2:
+        return 1.0
+    # the result is a max capped at 1.0: bail as soon as any signal hits it
+    score = fuzz.ratio(n1, n2)
+    if score < 100.0:
+        score = max(score, fuzz.token_set_ratio(n1, n2))
+    if score < 100.0:
+        score = max(score, fuzz.partial_ratio(n1, n2))
+    return score / 100.0
 
 
 def sim_container_title(c1: str, c2: str) -> float:
