@@ -1,0 +1,144 @@
+#!/usr/bin/env python3
+"""Benchmark: headline queries + the flagship dedupe pipeline.
+
+Runs on local[$SPARK_GRAFT_CPUS] against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "dedupe": {...pairs-scored/sec + pairwise F1...}}
+
+The dedupe section runs prep→block→sim→match→cluster on a deterministic
+synthetic bibliographic corpus (seeded; no external data) sized so the
+similarity-scoring stage dominates, and reports candidate-pairs-scored
+per second — the BASELINE.json throughput metric. Scaling-efficiency
+evidence (local[8] vs local[32]) lives in scripts/scaling_bench.py.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "block_pairs",
+    "block_rule_attrib",
+    "token_overlap_prune",
+    "minhash_lsh_pairs",
+    "exact_dedup",
+    "simhash",
+    "cluster_components",
+    "survivor_origin",
+    "embedding_topk",
+    "events_agg",
+]
+
+DEDUPE_BASE_RECORDS = int(os.environ.get("BENCH_DEDUPE_RECORDS", "8000"))
+
+
+def run_headline(spark) -> dict:
+    from bib_dedupe_spark.harness import QUERIES
+
+    timings = {}
+    for name in HEADLINE:
+        start = time.time()
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - start, 3)
+    return timings
+
+
+def run_dedupe(spark) -> dict:
+    import pandas as pd
+
+    from bib_dedupe_spark import block, cluster
+    from bib_dedupe_spark.operators.match import match_scored
+    from bib_dedupe_spark.operators.sim import score
+    from bib_dedupe_spark.operators.prep import prep
+    from bib_dedupe_spark.sources.synthetic import generate, pairwise_scores
+
+    records, golden = generate(n_base=DEDUPE_BASE_RECORDS, seed=42)
+    records_df = spark.createDataFrame(pd.DataFrame(records)).repartition(
+        CPUS * 2
+    )
+
+    t0 = time.time()
+    prepared = prep(records_df).persist()
+    n_records = prepared.count()
+    t_prep = time.time() - t0
+
+    t0 = time.time()
+    pairs = block(prepared, max_block_size=2000).persist()
+    n_pairs = pairs.count()
+    t_block = time.time() - t0
+
+    t0 = time.time()
+    scored = score(pairs).persist()
+    scored.count()
+    t_sim = time.time() - t0
+
+    t0 = time.time()
+    matched = match_scored(scored, persist=False).persist()
+    matched.count()
+    components = cluster(matched)
+    found = {
+        frozenset((r["ID_1"], r["ID_2"]))
+        for r in matched.filter("duplicate_label = 'duplicate'").collect()
+    }
+    t_match = time.time() - t0
+
+    quality = pairwise_scores(found, golden)
+    sim_match_wall = t_sim + t_match
+    for df in (prepared, pairs, scored, matched):
+        df.unpersist()
+    return {
+        "records": n_records,
+        "candidate_pairs": n_pairs,
+        "prep_s": round(t_prep, 2),
+        "block_s": round(t_block, 2),
+        "sim_s": round(t_sim, 2),
+        "match_cluster_s": round(t_match, 2),
+        "pairs_scored_per_s": round(n_pairs / sim_match_wall, 1),
+        "precision": round(quality["precision"], 5),
+        "recall": round(quality["recall"], 5),
+        "f1": round(quality["f1"], 5),
+    }
+
+
+def main() -> None:
+    from bib_dedupe_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bib-dedupe-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = run_headline(spark)
+    dedupe = run_dedupe(spark)
+
+    total = round(sum(queries.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "dedupe": dedupe,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Checkpointing, lineage metrics, and resumable pipeline runs.
+
+North-rule requirements (BASELINE.json): per-stage checkpoints with
+restart-from-last-complete-stage, and per-partition lineage rows
+(stage, partition, rows, wall-time). Replaces the reference's
+VerbosePrint timers (/root/reference/bib_dedupe/block.py:240-303,
+sim.py:516-543) with queryable parquet tables.
+
+Layout under ``checkpoint_dir``:
+    manifest.json            — ordered stage completion records
+    stages/<stage>/          — stage output parquet
+    lineage/<stage>/         — per-partition lineage rows parquet
+    cc_iter_<k>/             — per-iteration CC label frames
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class StageRunner:
+    """Run named stages with parquet checkpoints and resume support."""
+
+    def __init__(self, spark: SparkSession, checkpoint_dir: str):
+        self.spark = spark
+        self.dir = Path(checkpoint_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._manifest_path = self.dir / "manifest.json"
+        self.manifest: dict = {}
+        if self._manifest_path.is_file():
+            self.manifest = json.loads(self._manifest_path.read_text())
+
+    def _save_manifest(self) -> None:
+        self._manifest_path.write_text(json.dumps(self.manifest, indent=1))
+
+    def _stage_path(self, stage: str) -> str:
+        return str(self.dir / "stages" / stage)
+
+    def completed(self, stage: str) -> bool:
+        return self.manifest.get(stage, {}).get("status") == "complete"
+
+    def run(self, stage: str, build) -> DataFrame:
+        """Build-or-restore one stage.
+
+        ``build`` is a zero-arg callable returning the stage DataFrame; it
+        is only invoked when the stage has not completed in a prior run.
+        The returned DataFrame always reads from the checkpoint parquet,
+        truncating lineage between stages.
+        """
+        path = self._stage_path(stage)
+        if self.completed(stage):
+            return self.spark.read.parquet(path)
+
+        start = time.time()
+        df = build()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+
+        lineage = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows_out"))
+            .withColumn("stage", F.lit(stage))
+        )
+        lineage.write.mode("overwrite").parquet(
+            str(self.dir / "lineage" / stage)
+        )
+
+        wall = time.time() - start
+        rows = out.count()
+        self.manifest[stage] = {
+            "status": "complete",
+            "rows": rows,
+            "wall_s": round(wall, 3),
+            "path": path,
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        self._save_manifest()
+        return out
+
+    def lineage_table(self) -> DataFrame:
+        """All per-partition lineage rows recorded so far."""
+        return self.spark.read.parquet(str(self.dir / "lineage" / "*"))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    records_df: DataFrame,
+    checkpoint_dir: str,
+    max_block_size: int | None = 1000,
+) -> DataFrame:
+    """Full resumable pipeline: each stage checkpointed; a restart with the
+    same ``checkpoint_dir`` resumes after the last complete stage."""
+    from bib_dedupe_spark import block, merge, prep
+    from bib_dedupe_spark.operators.cluster import cluster
+    from bib_dedupe_spark.operators.match import match
+
+    runner = StageRunner(spark, checkpoint_dir)
+
+    records = runner.run("records", lambda: records_df)
+    prepared = runner.run("prep", lambda: prep(records))
+    pairs = runner.run(
+        "block", lambda: block(prepared, max_block_size=max_block_size)
+    )
+    matched = runner.run("match", lambda: match(pairs))
+    components = runner.run(
+        "cluster",
+        lambda: cluster(
+            matched, checkpoint_dir=str(Path(checkpoint_dir) / "cc")
+        ),
+    )
+    return runner.run("merge", lambda: merge(records, components))

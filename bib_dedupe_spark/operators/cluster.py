@@ -34,16 +34,19 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every larger neighbor of u to u's minimum neighborhood node."""
+    """Connect every larger neighbor of u to u's minimum neighborhood node.
+
+    Join-based (no collect_set): hub nodes with huge neighborhoods stream
+    through the join instead of materializing one giant array per node.
+    """
     nbrs = _symmetrize(edges)
-    with_min = nbrs.groupBy("src").agg(
-        F.min("dst").alias("m"), F.collect_set("dst").alias("nbrs")
+    mins = nbrs.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
     )
     return (
-        with_min.withColumn("m", F.least(F.col("m"), F.col("src")))
-        .select("src", "m", F.explode("nbrs").alias("v"))
-        .filter(F.col("v") > F.col("src"))
-        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -52,17 +55,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """Within each node's smaller-neighbor star, link all to the minimum."""
     oriented = _symmetrize(edges).filter(F.col("dst") < F.col("src"))
-    grouped = oriented.groupBy("src").agg(
-        F.min("dst").alias("m"), F.collect_set("dst").alias("nbrs")
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = (
+        oriented.join(mins, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
-    linked = grouped.select(
-        "src", "m", F.explode(F.array_union("nbrs", F.array("src"))).alias("v")
-    )
-    return (
-        linked.filter(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        .distinct()
-    )
+    self_link = mins.select("src", F.col("m").alias("dst"))
+    return relink.unionByName(self_link).distinct()
 
 
 def connected_components(
@@ -80,24 +80,25 @@ def connected_components(
     current = current.localCheckpoint()
 
     for iteration in range(max_iterations):
-        current = _large_star(current)
-        current = _small_star(current)
+        grown = _large_star(current).localCheckpoint()
+        # converged when large-star adds nothing new: after a small-star
+        # pass the graph is an out-degree≤1 forest, where this implies the
+        # star fixpoint (any chain still produces a new shortcut edge)
+        if iteration > 0:
+            changed = (
+                grown.join(current, ["src", "dst"], "left_anti")
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
+        current = _small_star(grown)
         if checkpoint_dir is not None:
             path = f"{checkpoint_dir}/cc_iter_{iteration}"
             current.write.mode("overwrite").parquet(path)
             current = spark.read.parquet(path)
         else:
             current = current.localCheckpoint()
-        # converged when every edge already points at the component min:
-        # one more large-star pass would change nothing
-        changed = (
-            _large_star(current)
-            .join(current, ["src", "dst"], "left_anti")
-            .limit(1)
-            .count()
-        )
-        if changed == 0:
-            break
 
     membership = _symmetrize(current).groupBy("src").agg(
         F.min("dst").alias("root")

@@ -46,11 +46,13 @@ def _clean_column(df: DataFrame, name: str) -> Column:
         )
     else:
         col = col.cast("string")
-    col = F.coalesce(col, F.lit(""))
-    col = F.when(col.isin(*_SENTINELS), "").otherwise(col)
+    base = F.coalesce(col, F.lit(""))
+    # ONE flat CASE (conditions are all full-cell tests on the same base
+    # value — never nest when().otherwise(prev): the tree doubles per step)
+    cleaned = F.when(base.isin(*_SENTINELS), "")
     for old, new in _CELL_REPLACEMENTS.items():
-        col = F.when(col == old, new).otherwise(col)
-    return col.alias(name)
+        cleaned = cleaned.when(base == old, new)
+    return cleaned.otherwise(base).alias(name)
 
 
 def _prep_batches(iterator):
