@@ -86,13 +86,17 @@ def run_dedupe(spark) -> dict:
     t0 = time.time()
     matched = match_scored(scored, persist=False).persist()
     matched.count()
+    t_match = time.time() - t0
+
+    t0 = time.time()
     components = cluster(matched)
+    components.count()
+    t_cluster = time.time() - t0
+
     found = {
         frozenset((r["ID_1"], r["ID_2"]))
         for r in matched.filter("duplicate_label = 'duplicate'").collect()
     }
-    t_match = time.time() - t0
-
     quality = pairwise_scores(found, golden)
     sim_match_wall = t_sim + t_match
     for df in (prepared, pairs, scored, matched):
@@ -103,7 +107,8 @@ def run_dedupe(spark) -> dict:
         "prep_s": round(t_prep, 2),
         "block_s": round(t_block, 2),
         "sim_s": round(t_sim, 2),
-        "match_cluster_s": round(t_match, 2),
+        "match_s": round(t_match, 2),
+        "cluster_s": round(t_cluster, 2),
         "pairs_scored_per_s": round(n_pairs / sim_match_wall, 1),
         "precision": round(quality["precision"], 5),
         "recall": round(quality["recall"], 5),

@@ -144,7 +144,10 @@ def generate(
                 var["pages"] = "1-" + str(rng.randint(5, 30))  # early view
             elif drift == 4:
                 var["title"] = f"<i>{title}</i> (Review)"
-            elif drift == 5:
+            elif drift == 5 and entrytype == "article":
+                # forthcoming-vs-published year drift; conference papers are
+                # excluded (the rule set vetoes inproceedings year mismatch
+                # by design — same venue/different year means a new paper)
                 var["year"] = str(year + 1)
                 var["doi"] = base["doi"]
             else:

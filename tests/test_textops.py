@@ -1,0 +1,145 @@
+"""Tests for the training-data text/embedding operators."""
+import pytest
+from pyspark.sql import functions as F
+
+from bib_dedupe_spark.textops import dedup, multimodal, quality, similarity_search
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "src1"),
+        (2, "the quick brown fox jumps over the lazy dog", "src2"),  # exact
+        (3, "the quick brown fox leaps over the lazy dog", "src1"),  # near
+        (4, "completely different text about spark query engines", "src3"),
+        (5, "der schnelle braune fuchs springt", "src4"),
+        (6, "le renard brun rapide et les chiens", "src5"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["representative"] == 1
+    assert groups[0]["members"] == [1, 2]
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in dedup.minhash_near_duplicates(
+            docs, n_hashes=16, bands=8
+        ).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always survives
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup shares bands
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_scores(docs):
+    sh = dedup.shingles(docs)
+    pairs = docs.sparkSession.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["id1", "id2"]
+    )
+    scored = {
+        (r["id1"], r["id2"]): (r["shared"], r["union_size"])
+        for r in dedup.ngram_jaccard(pairs, sh).collect()
+    }
+    assert scored[(1, 2)][0] == scored[(1, 2)][1]  # identical: J = 1
+    assert 0 < scored[(1, 3)][0] < scored[(1, 3)][1]
+    assert scored[(1, 4)][0] == 0
+
+
+def test_simhash_near_duplicates(docs):
+    sigs = {r["doc"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sigs[1] == sigs[2]
+    hamming_13 = sum(a != b for a, b in zip(sigs[1], sigs[3]))
+    hamming_14 = sum(a != b for a, b in zip(sigs[1], sigs[4]))
+    assert hamming_13 < hamming_14
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_brute_force_topk(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    top = similarity_search.brute_force_topk(
+        vecs.filter("vec_id = 1"), vecs, k=2
+    ).collect()
+    ranked = sorted((r["rank"], r["neighbor_id"]) for r in top)
+    assert ranked[0] == (1, 2)  # closest
+    assert ranked[1][1] in (3,)  # orthogonal beats opposite
+
+
+def test_lsh_topk_recall(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.5, 0.2, 0.1]),
+            (2, [0.9, 0.4, 0.2, 0.1]),
+            (3, [-1.0, -0.5, -0.2, -0.1]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    top = similarity_search.lsh_topk(
+        vecs.filter("vec_id = 1"), vecs, k=1, n_planes=4
+    ).collect()
+    assert len(top) == 1 and top[0]["neighbor_id"] == 2
+
+
+def test_quality_and_language(docs):
+    q = {r["doc"]: r for r in quality.quality_scores(docs).collect()}
+    assert q[1]["n_tokens"] == 9
+    stats = {r["doc"]: r for r in quality.token_stats(docs).collect()}
+    assert stats[1]["n_ws_tokens"] == 9
+    assert stats[1]["n_uniq_tokens"] == 8  # 'the' twice
+    langs = {
+        r["doc"]: r["predicted_lang"]
+        for r in quality.language_scores(docs).collect()
+    }
+    assert langs[1] == "en"
+    assert langs[5] == "de"
+    assert langs[6] == "fr"
+
+
+def test_fingerprints(docs):
+    fps = dedup.exact_duplicates  # noqa: F841 (imported op sanity)
+    rows = quality.fingerprints(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc"], set()).add(r["fingerprint"])
+    assert by_doc[1] == by_doc[2]  # identical docs → identical fingerprints
+    assert by_doc[1] != by_doc[4]
+
+
+def test_multimodal_stub(spark):
+    media = spark.createDataFrame(
+        [
+            ("m1", "image", bytearray(b"\x89PNGfakepayload"), "image/png", "u1"),
+            ("m2", "video", bytearray(b"\x00" * 4096), "video/mp4", "u2"),
+            ("m3", "audio", bytearray(b"RIFF"), "audio/wav", "u3"),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.decode_images(media).collect()
+    assert len(feats) == 1
+    assert feats[0]["media_id"] == "m1"
+    assert feats[0]["n_bytes"] == 15
+    assert feats[0]["width"] >= 64 and feats[0]["height"] >= 64
+
+    frames = multimodal.sample_frames(media, every_n_bytes=1024).collect()
+    assert {f["media_id"] for f in frames} == {"m2"}
+    assert len(frames) == 4
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_images(media, strict=True)
