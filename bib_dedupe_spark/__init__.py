@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from bib_dedupe_spark.operators.block import block
 from bib_dedupe_spark.operators.cluster import cluster, connected_components
 from bib_dedupe_spark.operators.match import match
+from bib_dedupe_spark.operators.maybe import export_maybe, import_maybe
 from bib_dedupe_spark.operators.merge import merge
 from bib_dedupe_spark.operators.prep import prep
 from bib_dedupe_spark.operators.sim import score
@@ -28,6 +29,8 @@ __all__ = [
     "cluster",
     "merge",
     "dedupe",
+    "export_maybe",
+    "import_maybe",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,104 @@
+"""Structured Streaming entry points for incremental deduplication.
+
+The reference is strictly batch (SURVEY.md §2.11); these operators extend
+the engine to continuous ingestion — the natural deployment for a
+Common-Crawl-style pipeline where new captures arrive as an append-only
+stream:
+
+* :func:`stream_exact_dedup` — watermarked exact dedup on content hash
+  (state-bounded ``dropDuplicatesWithinWatermark``).
+* :func:`run_incremental_linkage` — foreachBatch incremental record
+  linkage: each micro-batch is prepped, blocked against the accumulated
+  corpus (delta × corpus, not corpus × corpus), scored with the same
+  similarity kernels, and appended to a matched-edge sink.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_exact_dedup(
+    pages_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drop exact re-crawls within the watermark horizon.
+
+    State is bounded by the watermark: a duplicate arriving later than the
+    horizon re-emits (acceptable for dedup-before-training workloads —
+    the batch dedup pass downstream catches stragglers).
+    """
+    fingerprinted = pages_stream.withColumn(
+        "fingerprint", F.md5(F.col(text_col))
+    ).withWatermark(ts_col, watermark)
+    return fingerprinted.dropDuplicatesWithinWatermark(["fingerprint"])
+
+
+def run_incremental_linkage(
+    pages_stream: DataFrame,
+    corpus_path: str,
+    edges_path: str,
+    checkpoint_dir: str,
+    max_block_size: int | None = 1000,
+):
+    """foreachBatch incremental linkage against an accumulating corpus.
+
+    Each micro-batch of web pages is extracted to the record model and
+    prepped; candidate pairs are generated ONLY between the batch and the
+    previously accumulated prepared corpus plus within the batch (never
+    corpus × corpus again) — the streaming analogue of delta blocking.
+    Matched duplicate/maybe edges append to ``edges_path``; the prepared
+    batch appends to ``corpus_path``.
+    """
+    from bib_dedupe_spark import block, prep
+    from bib_dedupe_spark.operators.match import match
+    from bib_dedupe_spark.sources.webpages import records_from_webpages
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        prepared_batch = prep(
+            records_from_webpages(batch_df), validate=False
+        ).withColumn("_batch", F.lit(batch_id))
+
+        try:
+            corpus = spark.read.parquet(corpus_path)
+        except Exception:
+            corpus = None
+
+        if corpus is not None and corpus.limit(1).count() > 0:
+            # delta blocking: pairs within the new batch OR crossing into
+            # the corpus; corpus-internal pairs were handled by earlier
+            # batches, so drop them
+            combined = corpus.unionByName(prepared_batch)
+            pairs = block(combined, max_block_size=max_block_size)
+            batch_ids = prepared_batch.select(
+                F.col("ID").alias("ID_1")
+            ).withColumn("_new1", F.lit(True))
+            batch_ids2 = prepared_batch.select(
+                F.col("ID").alias("ID_2")
+            ).withColumn("_new2", F.lit(True))
+            pairs = (
+                pairs.join(batch_ids, "ID_1", "left")
+                .join(batch_ids2, "ID_2", "left")
+                .filter(
+                    F.coalesce(F.col("_new1"), F.lit(False))
+                    | F.coalesce(F.col("_new2"), F.lit(False))
+                )
+                .drop("_new1", "_new2")
+            )
+        else:
+            pairs = block(prepared_batch, max_block_size=max_block_size)
+
+        matched = match(pairs)
+        matched.write.mode("append").parquet(edges_path)
+        prepared_batch.write.mode("append").parquet(corpus_path)
+
+    return (
+        pages_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

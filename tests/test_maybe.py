@@ -1,0 +1,77 @@
+"""Maybe export/import round-trip tests (maybe_cases semantics)."""
+from bib_dedupe_spark.operators.maybe import export_maybe, import_maybe
+
+
+def _matched(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "", "", "b", "duplicate"),
+            ("b", "", "", "c", "maybe"),  # cluster rep of b is a
+            ("d", "", "", "e", "maybe"),
+            ("x", "", "", "y", "duplicate"),
+        ],
+        ["ID_1", "search_set_1", "search_set_2", "ID_2", "duplicate_label"],
+    )
+
+
+def _records(spark):
+    rows = [
+        (i, f"author {i}", f"title {i}", "", "2020", "", "", "", "", "")
+        for i in ["a", "b", "c", "d", "e", "x", "y"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        [
+            "ID",
+            "author",
+            "title",
+            "container_title",
+            "year",
+            "volume",
+            "number",
+            "pages",
+            "doi",
+            "abstract",
+        ],
+    )
+
+
+def test_export_maybe_remaps_to_cluster_representative(spark):
+    export = export_maybe(_matched(spark), _records(spark))
+    rows = export.collect()
+    # two maybe pairs → four member rows
+    assert len(rows) == 4
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_ID"], set()).add(r["ID"])
+    # the b-c maybe pair is remapped to (a, c): a is b's duplicate rep
+    assert {frozenset(v) for v in clusters.values()} == {
+        frozenset(("a", "c")),
+        frozenset(("d", "e")),
+    }
+    assert all(r["duplicate_label"] == "maybe" for r in rows)
+    assert all(0.0 <= r["similarity_score"] <= 1.0 for r in rows)
+
+
+def test_import_maybe_promotes_and_drops(spark):
+    matched = _matched(spark)
+    export = export_maybe(matched, _records(spark))
+    # reviewer confirms only the (d, e) cluster
+    reviewed = export.withColumn(
+        "duplicate_label",
+        (
+            export["ID"].isin("d", "e").cast("string")
+        ),
+    )
+    from pyspark.sql import functions as F
+
+    reviewed = export.withColumn(
+        "duplicate_label",
+        F.when(F.col("ID").isin("d", "e"), "duplicate").otherwise("maybe"),
+    )
+    updated = import_maybe(matched, reviewed)
+    rows = {(r["ID_1"], r["ID_2"]): r["duplicate_label"] for r in updated.collect()}
+    assert rows[("a", "b")] == "duplicate"  # untouched
+    assert rows[("d", "e")] == "duplicate"  # promoted
+    assert ("b", "c") not in rows  # unconfirmed maybe dropped
+    assert rows[("x", "y")] == "duplicate"
