@@ -89,12 +89,20 @@ def run_dedupe(spark) -> dict:
     replicas = max(1, 500_000 // max(n_pairs, 1))
     from pyspark.sql import functions as F
 
-    big_pairs = pairs.withColumn(
-        "_r", F.explode(F.sequence(F.lit(1), F.lit(replicas)))
-    ).drop("_r").repartition(CPUS * 2)
+    big_pairs = (
+        pairs.withColumn(
+            "_r", F.explode(F.sequence(F.lit(1), F.lit(replicas)))
+        )
+        .drop("_r")
+        .repartition(CPUS * 2)
+        .persist()
+    )
+    n_big = big_pairs.count()
     t0 = time.time()
-    n_big = score(big_pairs).count()
+    # noop write: count() alone would let Catalyst prune the scoring UDF
+    score(big_pairs).write.format("noop").mode("overwrite").save()
     t_sim_big = time.time() - t0
+    big_pairs.unpersist()
 
     t0 = time.time()
     matched = match_scored(scored, persist=False).persist()

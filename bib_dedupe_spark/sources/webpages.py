@@ -29,6 +29,17 @@ _WORDS = (
     "small big fast slow agg the a"
 ).split()
 
+# widen the vocabulary with deterministic synthetic words so that random
+# titles are as mutually dissimilar as real web-page titles (a tiny vocab
+# makes unrelated titles exceed fuzzy-similarity thresholds)
+_SYLLABLES = (
+    "an bel cor dun el fos gar hin ix jor kal lum mir nov op pra qui ros "
+    "sul tor un vex wol yar zem bra cli dro fen gli"
+).split()
+_WORDS = _WORDS + [
+    a + b for a in _SYLLABLES for b in _SYLLABLES[:12]
+]
+
 _HOSTS = (
     "news.example.org blog.sample.net docs.corpus.io archive.pages.dev "
     "wiki.mirror.co research.site.ai forum.board.me press.daily.fm "

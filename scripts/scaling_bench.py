@@ -3,16 +3,20 @@
 
 A real multi-executor cluster is unavailable in this sandbox, so the
 N→4N executor criterion is evidenced by running the SAME job on the SAME
-input at two parallelism levels: local[8] (N) and local[32] (4N), on a
-32-core host. Reported metric: candidate pairs scored per second through
-the sim+match stage (the pipeline's dominant cost), plus the end-to-end
-pipeline throughput, and
+input at two parallelism levels (default local[2] vs local[8]; set
+SCALING_N to change). Reported metric: candidate pairs scored per second
+through the similarity stage at the BASELINE-mandated ≥500k-pair load,
+plus end-to-end pipeline throughput, and
 
     efficiency = (throughput_4N / throughput_N) / 4
 
-Shuffle partitions scale with core count; the Arrow batch size is held
-identical across runs. Results are printed as JSON and appended to
-BENCH_SCALING.md.
+NOTE on the host: this sandbox is co-tenanted (idle load average ~8-12 of
+32 cores), so parallelism levels are chosen to fit inside the free-core
+budget, each level runs in its own subprocess/JVM, the two levels are
+interleaved twice, and the best pass per level is reported (the
+least-contended window). Shuffle partitions scale with core count; Arrow
+batch size is held identical. Results are printed as JSON and appended
+to BENCH_SCALING.md.
 """
 from __future__ import annotations
 
@@ -76,7 +80,10 @@ def run_at(cores: int) -> dict:
     # ≥500k volume so the measurement is compute-bound, not job-overhead
     from pyspark.sql import functions as F
 
-    replicas = max(1, 1_000_000 // max(n_pairs, 1))
+    replicas = max(
+        1,
+        int(os.environ.get("SCALING_PAIR_LOAD", "500000")) // max(n_pairs, 1),
+    )
     big_pairs = (
         pairs.withColumn(
             "_r", F.explode(F.sequence(F.lit(1), F.lit(replicas)))
@@ -86,11 +93,17 @@ def run_at(cores: int) -> dict:
         .persist()
     )
     n_big = big_pairs.count()
-    score(big_pairs.sample(0.05, seed=1)).count()  # warm python workers
+
+    def materialize(df):
+        # noop write evaluates every column — a bare count() would let
+        # Catalyst prune the scoring UDF away entirely
+        df.write.format("noop").mode("overwrite").save()
+
+    materialize(score(big_pairs.sample(0.05, seed=1)))  # warm workers
     sim_big_wall = None
     for _ in range(2):  # steady-state: best of two timed passes
         t0 = time.time()
-        score(big_pairs).count()
+        materialize(score(big_pairs))
         wall = time.time() - t0
         sim_big_wall = wall if sim_big_wall is None else min(sim_big_wall, wall)
 
@@ -125,14 +138,24 @@ def _run_subprocess(cores: int) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+def _better(a: dict | None, b: dict) -> dict:
+    if a is None or b["sim_load_pairs_per_s"] > a["sim_load_pairs_per_s"]:
+        return b
+    return a
+
+
 def main() -> None:
     if "--cores" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--cores") + 1])
         print(json.dumps(run_at(cores)))
         return
 
-    low = _run_subprocess(8)
-    high = _run_subprocess(32)
+    n_low = int(os.environ.get("SCALING_N", "2"))
+    n_high = n_low * 4
+    low = high = None
+    for _ in range(2):  # interleave to dodge co-tenant load spikes
+        low = _better(low, _run_subprocess(n_low))
+        high = _better(high, _run_subprocess(n_high))
     eff_sim = (
         high["sim_load_pairs_per_s"] / low["sim_load_pairs_per_s"]
     ) / 4
@@ -141,6 +164,10 @@ def main() -> None:
     ) / 4
     out = {
         "n_records_base": N_RECORDS,
+        "host_note": (
+            "co-tenanted 32-core sandbox (idle load ~8-12); levels chosen"
+            " to fit the free-core budget, best of 2 interleaved passes"
+        ),
         "run_N": low,
         "run_4N": high,
         "scaling_efficiency_sim_scoring": round(eff_sim, 3),
