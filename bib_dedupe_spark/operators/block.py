@@ -94,9 +94,15 @@ def _key_entries_column():
 def candidate_pairs(
     records_df: DataFrame,
     max_block_size: int | None = 1000,
+    cache: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (ID_1 < ID_2) with first-rule attribution
-    and the aggregated require-title-overlap flag."""
+    and the aggregated require-title-overlap flag.
+
+    The exploded key table feeds three consumers (hot-key counts and both
+    self-join sides); ``cache`` persists it so the upstream prep UDF pass
+    runs once instead of three times.
+    """
     keys = (
         records_df.filter(F.col(C.TITLE).isNotNull())
         .select(C.ID, F.explode(_key_entries_column()).alias("entry"))
@@ -107,6 +113,10 @@ def candidate_pairs(
             F.col("entry.key").alias("key"),
         )
     )
+    if cache:
+        from pyspark.storagelevel import StorageLevel
+
+        keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
 
     if max_block_size is not None:
         # kill O(k²) blow-up on hot keys; the drop is observable via the
@@ -184,11 +194,23 @@ def _title_overlap_keep():
 def block(
     records_df: DataFrame,
     max_block_size: int | None = 1000,
+    cache: bool = True,
 ) -> DataFrame:
-    """Full blocking stage → enriched, pruned pair table."""
-    records_df = records_df.filter(F.col(C.TITLE).isNotNull())
+    """Full blocking stage → enriched, pruned pair table.
 
-    pairs = candidate_pairs(records_df, max_block_size=max_block_size)
+    ``cache`` persists the (filtered) prepared records: they feed the key
+    explode plus both enrichment joins — without it, an unpersisted prep
+    stage would re-run its normalizer UDF pass for every consumer.
+    """
+    records_df = records_df.filter(F.col(C.TITLE).isNotNull())
+    if cache:
+        from pyspark.storagelevel import StorageLevel
+
+        records_df = records_df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    pairs = candidate_pairs(
+        records_df, max_block_size=max_block_size, cache=cache
+    )
 
     rule_names = F.array(
         *[F.lit(rule_name(fields)) for fields, _ in BLOCKING_RULES]
