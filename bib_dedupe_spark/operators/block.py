@@ -95,13 +95,22 @@ def candidate_pairs(
     records_df: DataFrame,
     max_block_size: int | None = 1000,
     cache: bool = True,
+    hot_key_strategy: str = "salt",
 ) -> DataFrame:
     """Distinct candidate pairs (ID_1 < ID_2) with first-rule attribution
     and the aggregated require-title-overlap flag.
 
-    The exploded key table feeds three consumers (hot-key counts and both
-    self-join sides); ``cache`` persists it so the upstream prep UDF pass
-    runs once instead of three times.
+    Hot-key skew: a blocking key shared by k records implies O(k²) pairs.
+    With ``hot_key_strategy="salt"`` (default), keys whose group exceeds
+    ``max_block_size`` are split into ⌈k / max_block_size⌉ deterministic
+    salt buckets; within-bucket plus lower-triangular cross-bucket joins
+    regenerate EXACTLY the same pair set while bounding every join
+    group — the quadratic output is spread over many tasks instead of one
+    reducer. ``"drop"`` removes hot keys outright (bounded-output mode;
+    observable via :func:`blocking_key_stats`).
+
+    The exploded key table feeds several consumers; ``cache`` persists it
+    so the upstream prep UDF pass runs once.
     """
     keys = (
         records_df.filter(F.col(C.TITLE).isNotNull())
@@ -118,21 +127,55 @@ def candidate_pairs(
 
         keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
 
+    hot_pairs = None
     if max_block_size is not None:
-        # kill O(k²) blow-up on hot keys; the drop is observable via the
-        # blocking_key_stats() helper
         counts = keys.groupBy("rule_idx", "key").agg(
             F.count("*").alias("_block_n")
         )
-        keys = keys.join(
-            F.broadcast(
-                counts.filter(F.col("_block_n") > max_block_size).select(
-                    "rule_idx", "key"
-                )
-            ),
+        hot = counts.filter(F.col("_block_n") > max_block_size)
+        keys_cold = keys.join(
+            F.broadcast(hot.select("rule_idx", "key")),
             ["rule_idx", "key"],
             "left_anti",
         )
+        if hot_key_strategy == "salt":
+            n_buckets = F.ceil(
+                F.col("_block_n") / F.lit(max_block_size)
+            ).cast("int")
+            salted = keys.join(
+                F.broadcast(hot), ["rule_idx", "key"]
+            ).withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(C.ID), n_buckets).cast("int"),
+            )
+            # left side replicated toward every bucket ≥ its own: pair
+            # (a, b) with buckets i ≤ j is produced exactly once, by a's
+            # (or both's, when i == j) replica targeting bucket j
+            salted_left = salted.withColumn(
+                "_to",
+                F.explode(
+                    F.sequence(F.col("_salt"), n_buckets - 1)
+                ),
+            ).select(
+                F.col(C.ID).alias("_id_l"), "rule_idx", "rto", "key", "_to"
+            )
+            salted_right = salted.select(
+                F.col(C.ID).alias("_id_r"),
+                "rule_idx",
+                "key",
+                F.col("_salt").alias("_to"),
+            )
+            hot_pairs = (
+                salted_left.join(salted_right, ["rule_idx", "key", "_to"])
+                .filter(F.col("_id_l") != F.col("_id_r"))
+                .select(
+                    F.least("_id_l", "_id_r").alias("ID_1"),
+                    F.greatest("_id_l", "_id_r").alias("ID_2"),
+                    "rule_idx",
+                    "rto",
+                )
+            )
+        keys = keys_cold
 
     left = keys.select(
         F.col(C.ID).alias("ID_1"),
@@ -143,7 +186,9 @@ def candidate_pairs(
     right = keys.select(F.col(C.ID).alias("ID_2"), "rule_idx", "key")
     raw_pairs = left.join(right, ["rule_idx", "key"]).filter(
         F.col("ID_1") < F.col("ID_2")
-    )
+    ).select("ID_1", "ID_2", "rule_idx", "rto")
+    if hot_pairs is not None:
+        raw_pairs = raw_pairs.unionByName(hot_pairs)
 
     # one pair per (ID_1, ID_2): earliest rule wins the attribution,
     # overlap required only if EVERY producing rule required it
