@@ -557,6 +557,70 @@ def q_top_orders(spark, sf_dir):
     )
 
 
+def q_fingerprints(spark, sf_dir):
+    """Winnowing-style fingerprints: min md5 per 16-gram hash window."""
+    from bib_dedupe_spark.textops.quality import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir)).select(
+        F.col("doc").alias("doc_id"), "win", "fingerprint"
+    )
+
+
+def q_language_scores(spark, sf_dir):
+    """Coarse language ID: function-word profile hit counts + argmax."""
+    from bib_dedupe_spark.textops.quality import language_scores
+
+    scored = language_scores(_docs(spark, sf_dir))
+    return scored.select(
+        F.col("doc").alias("doc_id"),
+        "score_en",
+        "score_de",
+        "score_fr",
+        "score_es",
+        "predicted_lang",
+    )
+
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling-window event counts (streaming-shaped agg in batch)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_revenue_by_priority(spark, sf_dir):
+    """Join + decimal aggregate (exact cross-engine arithmetic)."""
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_discount").cast("decimal(18,2)").alias("disc"),
+    )
+    joined = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    )
+    revenue = F.sum(
+        (F.col("price") * (F.lit(1).cast("decimal(18,2)") - F.col("disc")))
+    ).cast("decimal(28,4)")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            revenue.cast("string").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 QUERIES = {
     "scan_project": q_scan_project,
     "derived_columns": q_derived_columns,
@@ -582,6 +646,10 @@ QUERIES = {
     "embedding_sign_lsh": q_embedding_sign_lsh,
     "events_agg": q_events_agg,
     "top_orders": q_top_orders,
+    "fingerprints": q_fingerprints,
+    "language_scores": q_language_scores,
+    "events_windowed": q_events_windowed,
+    "revenue_by_priority": q_revenue_by_priority,
 }
 
 
@@ -833,5 +901,55 @@ ORACLES = {
         "SELECT o_orderkey, o_custkey,"
         " CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents"
         " FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"
+    ),
+    "fingerprints": (
+        "WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS words"
+        " FROM documents), "
+        "grams AS (SELECT doc_id, unnest(list_transform("
+        "   range(1, greatest(len(words) - 2, 2)),"
+        "   i -> struct_pack(pos := i, h := md5(words[i] || ' ' ||"
+        "        words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))))"
+        "  AS g FROM w)"
+        " SELECT doc_id, CAST((g.pos - 1) // 16 AS BIGINT) AS win,"
+        " min(g.h) AS fingerprint FROM grams"
+        " GROUP BY doc_id, (g.pos - 1) // 16"
+    ),
+    "language_scores": (
+        "WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS words"
+        " FROM documents), "
+        "s AS (SELECT doc_id,"
+        " len(list_filter(words, t -> t = 'the' OR t = 'and' OR t = 'of'"
+        "   OR t = 'to' OR t = 'in')) AS score_en,"
+        " len(list_filter(words, t -> t = 'der' OR t = 'die' OR t = 'und'"
+        "   OR t = 'das' OR t = 'nicht')) AS score_de,"
+        " len(list_filter(words, t -> t = 'le' OR t = 'la' OR t = 'et'"
+        "   OR t = 'les' OR t = 'des')) AS score_fr,"
+        " len(list_filter(words, t -> t = 'el' OR t = 'la' OR t = 'de'"
+        "   OR t = 'que' OR t = 'los')) AS score_es"
+        " FROM w)"
+        " SELECT doc_id, score_en, score_de, score_fr, score_es,"
+        " CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0"
+        " THEN 'unknown'"
+        " WHEN score_en = greatest(score_en, score_de, score_fr, score_es)"
+        " THEN 'en'"
+        " WHEN score_de = greatest(score_en, score_de, score_fr, score_es)"
+        " THEN 'de'"
+        " WHEN score_fr = greatest(score_en, score_de, score_fr, score_es)"
+        " THEN 'fr'"
+        " ELSE 'es' END AS predicted_lang FROM s"
+    ),
+    "events_windowed": (
+        "SELECT date_trunc('hour', ts) AS hour, event_type,"
+        " count(*) AS n_events, count(DISTINCT user_id) AS n_users"
+        " FROM events GROUP BY date_trunc('hour', ts), event_type"
+    ),
+    "revenue_by_priority": (
+        "SELECT o_orderpriority,"
+        " CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+        "  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"
+        "  AS DECIMAL(28,4)) AS VARCHAR) AS revenue,"
+        " count(*) AS n_items"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " GROUP BY o_orderpriority"
     ),
 }

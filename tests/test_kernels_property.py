@@ -1,0 +1,90 @@
+"""Property-based tests for the string kernels.
+
+The bit-parallel LCS and the packed-bigint window scan are checked
+against naive dynamic-programming references on random inputs; the
+number-word parser is checked for idempotence and digit-only output on
+number phrases.
+"""
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bib_dedupe_spark.kernels import fuzz, numwords
+from bib_dedupe_spark.kernels.fuzz import _best_window_similarity
+from bib_dedupe_spark.kernels.fuzz_np import best_window_similarity
+
+_alpha = st.text(alphabet="abcdef gh", max_size=60)
+
+
+def _lcs_naive(a: str, b: str) -> int:
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b):
+            cur.append(
+                prev[j] + 1 if ca == cb else max(prev[j + 1], cur[-1])
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_alpha, _alpha)
+def test_lcs_matches_naive(a, b):
+    assert fuzz.lcs_length(a, b) == _lcs_naive(a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_alpha, _alpha)
+def test_ratio_bounds_and_symmetry(a, b):
+    r = fuzz.ratio(a, b)
+    assert 0.0 <= r <= 100.0
+    assert r == fuzz.ratio(b, a)
+    assert fuzz.ratio(a, a) == 100.0
+
+
+@settings(max_examples=150, deadline=None)
+@given(_alpha, _alpha)
+def test_window_scans_agree(a, b):
+    shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
+    if not shorter:
+        return
+    assert abs(
+        _best_window_similarity(shorter, longer)
+        - best_window_similarity(shorter, longer)
+    ) < 1e-12
+
+
+@settings(max_examples=150, deadline=None)
+@given(_alpha, _alpha)
+def test_partial_ratio_dominates_ratio(a, b):
+    # best-window similarity can never be below the full-string ratio
+    if not a or not b:
+        return
+    assert fuzz.partial_ratio(a, b) >= fuzz.ratio(a, b) - 1e-9
+
+
+_number_words = st.lists(
+    st.sampled_from(
+        "one two three seven nine twelve twenty fifty hundred thousand".split()
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_number_words)
+def test_numwords_parse_produces_digits(words):
+    out = numwords.parse(" ".join(words))
+    assert out
+    for token in out.split(" "):
+        assert token.isdigit(), out
+    # idempotent: re-parsing changes nothing
+    assert numwords.parse(out) == out
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="xyz qrs", max_size=30))
+def test_numwords_passthrough(text):
+    # no number words → unchanged tokenization
+    assert numwords.parse(text) == " ".join(text.split(" ")) or text == ""
