@@ -70,15 +70,67 @@ def _abbrev_venue(venue: str) -> str:
     return ".".join(w[:4].title() for w in venue.split() if len(w) > 3) + "."
 
 
+def _mess_up(rec: dict, rng: random.Random) -> dict:
+    """Apply real-world formatting corruption (normalizers must undo it).
+
+    Mirrors the messy formats the reference's prep layer handles:
+    semicolon initials-surname authors, resolver-prefixed DOIs,
+    parenthesized volume clutter, lettered/zero-padded pages, ISO dates in
+    the year field, HTML/withdrawn/review title noise, copyright-tailed
+    abstracts, 'Proceedings of the' venue prefixes.
+    """
+    rec = dict(rec)
+    roll = rng.random()
+    if roll < 0.3 and " and " in rec["author"]:
+        parts = []
+        for author in rec["author"].split(" and "):
+            surname, given = [p.strip() for p in author.split(",", 1)]
+            parts.append(f"{given[0]}. {surname}")
+        rec["author"] = "; ".join(parts)
+    elif roll < 0.4:
+        rec["author"] = rec["author"].upper()
+
+    if rng.random() < 0.3 and rec["volume"]:
+        rec["volume"] = f"{rec['volume']} (3) ()(pp {rec['pages']}) {rec['year']}"
+    if rng.random() < 0.2 and rec["number"]:
+        rec["number"] = f"SUPPL.{rec['number']}"
+    if rng.random() < 0.3 and rec["pages"]:
+        start, end = rec["pages"].split("-")
+        rec["pages"] = f"S{start}-S{end}"
+    if rng.random() < 0.3 and rec["doi"]:
+        rec["doi"] = "http://dx.doi.org/" + rec["doi"].upper()
+    if rng.random() < 0.2:
+        rec["year"] = f"{rec['year']}-05-01"
+    title_roll = rng.random()
+    if title_roll < 0.15:
+        rec["title"] = f"<i>{rec['title']}</i>"
+    elif title_roll < 0.25:
+        rec["title"] = f"{rec['title']} (Review)"
+    elif title_roll < 0.3:
+        rec["title"] = f"WITHDRAWN: {rec['title']}"
+    if rng.random() < 0.2 and rec["abstract"]:
+        rec["abstract"] = (
+            "Aims " + rec["abstract"] + ". Copyright 2019 Elsevier Ltd."
+        )
+    if rng.random() < 0.2 and rec["booktitle"]:
+        rec["booktitle"] = "Proceedings of the " + rec["booktitle"]
+    if rng.random() < 0.15 and rec["journal"]:
+        rec["journal"] = rec["journal"] + " [Electronic Resource]"
+    return rec
+
+
 def generate(
     n_base: int = 200,
     dup_rate: float = 0.4,
     seed: int = 42,
+    messy: bool = False,
 ) -> tuple:
     """Return (records: list[dict], duplicate_pairs: set[frozenset]).
 
     Each base record optionally gets one drifted duplicate variant; a
     fraction of records get a hard true-negative sibling instead.
+    ``messy=True`` additionally corrupts field formatting with the
+    real-world noise patterns the prep layer must normalize away.
     """
     rng = random.Random(seed)
     records: list = []
@@ -100,6 +152,12 @@ def generate(
         pages = f"{start}-{start + rng.randint(4, 40)}"
         doi = f"10.{rng.randint(1000, 9999)}/{rng.randint(100000, 999999)}"
         title = _title(rng)
+        abstract = ""
+        if rng.random() < 0.4:
+            abstract = (
+                " ".join(rng.choice(_WORDS) for _ in range(30)).capitalize()
+                + "."
+            )
         base_id = next_id()
         base = {
             "ID": base_id,
@@ -112,7 +170,7 @@ def generate(
             "volume": volume,
             "number": number,
             "pages": pages,
-            "abstract": "",
+            "abstract": abstract,
             "doi": doi if rng.random() < 0.7 else "",
             "search_set": "",
         }
@@ -182,6 +240,12 @@ def generate(
                 neg["pages"] = f"{start + 200}-{start + 230}"
                 neg["doi"] = ""
             records.append(neg)
+
+    if messy:
+        records = [
+            _mess_up(rec, rng) if rng.random() < 0.6 else rec
+            for rec in records
+        ]
 
     return records, golden
 
