@@ -44,6 +44,6 @@ def dedupe(records_df: DataFrame, max_block_size: int | None = 1000) -> DataFram
     """
     prepared = prep(records_df)
     pairs = block(prepared, max_block_size=max_block_size)
-    matched = match(pairs)
+    matched = match(pairs).persist()  # feeds clustering + search-set maps
     components = cluster(matched)
     return merge(records_df, components)
