@@ -55,6 +55,17 @@ def _clean_column(df: DataFrame, name: str) -> Column:
     return cleaned.otherwise(base).alias(name)
 
 
+def _map_unique(series: pd.Series, fn) -> pd.Series:
+    """Apply ``fn`` once per distinct value (dictionary-encoding style).
+
+    Venue/volume/year/doi columns have few distinct values per batch, so
+    normalizing the dictionary instead of every row cuts the dominant
+    per-record cost (the journal-variant table scan) by the repeat factor.
+    """
+    table = {v: fn(v) for v in pd.unique(series)}
+    return series.map(table)
+
+
 def _prep_batches(iterator):
     """Arrow-batched normalizer cascade (runs on executors)."""
     variants = containers.load_journal_variants()
@@ -86,20 +97,20 @@ def _prep_batches(iterator):
             pdf[C.YEAR],
         ) = map(list, zip(*fixed))
 
-        pdf[C.AUTHOR] = [authors.norm_author(v) for v in pdf[C.AUTHOR]]
+        pdf[C.AUTHOR] = _map_unique(pdf[C.AUTHOR], authors.norm_author)
         pdf[C.TITLE] = [titles.norm_title(v) for v in pdf[C.TITLE]]
-        pdf[C.CONTAINER_TITLE] = [
-            containers.norm_container_title(v, variants)
-            for v in pdf[C.CONTAINER_TITLE]
-        ]
-        pdf[C.YEAR] = [fields.norm_year(v) for v in pdf[C.YEAR]]
-        pdf[C.VOLUME] = [fields.norm_volume(v) for v in pdf[C.VOLUME]]
-        pdf[C.NUMBER] = [fields.norm_number(v) for v in pdf[C.NUMBER]]
-        pdf[C.PAGES] = [fields.norm_pages(v) for v in pdf[C.PAGES]]
+        pdf[C.CONTAINER_TITLE] = _map_unique(
+            pdf[C.CONTAINER_TITLE],
+            lambda v: containers.norm_container_title(v, variants),
+        )
+        pdf[C.YEAR] = _map_unique(pdf[C.YEAR], fields.norm_year)
+        pdf[C.VOLUME] = _map_unique(pdf[C.VOLUME], fields.norm_volume)
+        pdf[C.NUMBER] = _map_unique(pdf[C.NUMBER], fields.norm_number)
+        pdf[C.PAGES] = _map_unique(pdf[C.PAGES], fields.norm_pages)
         pdf[C.ABSTRACT] = [fields.norm_abstract(v) for v in pdf[C.ABSTRACT]]
-        pdf[C.DOI] = [fields.norm_doi(v) for v in pdf[C.DOI]]
+        pdf[C.DOI] = _map_unique(pdf[C.DOI], fields.norm_doi)
 
-        pdf[C.AUTHOR] = [authors.select_surnames(v) for v in pdf[C.AUTHOR]]
+        pdf[C.AUTHOR] = _map_unique(pdf[C.AUTHOR], authors.select_surnames)
 
         # years erroneously entered in the pages field
         pdf.loc[pdf[C.PAGES] == pdf[C.YEAR], C.PAGES] = ""
