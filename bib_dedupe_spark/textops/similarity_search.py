@@ -77,6 +77,114 @@ def sign_lsh_bucket(vec_col, n_planes: int = 16):
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 20_000,
+    iterations: int = 10,
+):
+    """Deterministic coarse quantizer: Lloyd k-means on a bounded sample.
+
+    The sample is collected in ``id_col`` order (reproducible), the init
+    takes the first ``n_lists`` sampled vectors, and iterations run in
+    numpy on the driver — the corpus itself never leaves the executors.
+    Returns an (n_lists, dim) numpy array of L2-normalized centroids.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    data = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    data /= np.maximum(np.linalg.norm(data, axis=1, keepdims=True), 1e-12)
+    centroids = data[: min(n_lists, len(data))].copy()
+    for _ in range(iterations):
+        sims = data @ centroids.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(centroids)):
+            members = data[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                centroids[j] = c / max(np.linalg.norm(c), 1e-12)
+    return centroids
+
+
+def _ivf_assign_udf(centroids, top: int = 1):
+    """Vectorized pandas UDF: nearest-centroid list ids (numpy matmul)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    flat = centroids.tolist()
+
+    @pandas_udf("array<int>")
+    def assign(vecs):
+        import pandas as pd
+
+        cents = np.array(flat, dtype=np.float64)
+        mat = np.array([list(v) for v in vecs], dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cents.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+        return pd.Series(order.tolist())
+
+    return assign
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    list; each query probes its ``n_probe`` closest lists. The cross join
+    becomes an equi-join on list id — the classic inverted-file ANN shape,
+    with the heavy assignment math inside a vectorized (numpy) pandas UDF.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+        )
+
+    assign1 = _ivf_assign_udf(centroids, top=1)
+    assign_probe = _ivf_assign_udf(centroids, top=n_probe)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(assign_probe(F.col(vec_col))).alias("list_id"),
+    )
+    scored = (
+        q.join(c, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
