@@ -8,6 +8,12 @@ large-star/small-star connected-components loop, and groupBy/applyInPandas
 survivorship — designed for multi-executor clusters at web scale.
 
 Pipeline:  prep → block → match (sim + rules) → cluster → merge
+
+Companion surfaces: textops (minhash/simhash/jaccard dedup, cosine /
+LSH / IVF similarity search, quality + language + fingerprint analysis,
+multimodal column plumbing), streaming (watermarked + stateful dedup,
+incremental delta-blocking linkage), lineage (resumable checkpoints +
+per-partition metrics).
 """
 from __future__ import annotations
 

@@ -14,6 +14,7 @@ stream:
 """
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +35,85 @@ def stream_exact_dedup(
         "fingerprint", F.md5(F.col(text_col))
     ).withWatermark(ts_col, watermark)
     return fingerprinted.dropDuplicatesWithinWatermark(["fingerprint"])
+
+
+def stream_stateful_first_seen(
+    pages_stream: DataFrame,
+    key_col: str = "lang",
+    text_col: str = "text",
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator: emit only first-seen content per group.
+
+    ``applyInPandasWithState`` keeps the set of content fingerprints seen
+    per ``key_col`` group (e.g. crawl shard / language) and suppresses
+    re-occurrences across micro-batches — unlike the watermarked variant,
+    the suppression horizon is unbounded (state grows with distinct
+    content per group; shard the key accordingly). Pass
+    ``state_timeout_ms`` to add a processing-time TTL — note that
+    processing-time timeouts make ``availableNow`` triggers run state-
+    cleanup batches until the TTL fires, so TTLs suit continuous
+    (long-lived) queries, not drain-and-stop runs.
+    """
+    import hashlib
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("fingerprint", StringType(), True),
+            StructField(text_col, StringType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("seen", StringType(), True)]  # ';'-joined fingerprints
+    )
+
+    def first_seen(key, pdf_iter, state: GroupState):
+        seen = set()
+        if state.exists:
+            (joined,) = state.get
+            if joined:
+                seen = set(joined.split(";"))
+        rows = []
+        for pdf in pdf_iter:
+            for text in pdf[text_col]:
+                fp = hashlib.md5(str(text).encode()).hexdigest()
+                if fp not in seen:
+                    seen.add(fp)
+                    rows.append(
+                        {
+                            "key": key[0],
+                            "fingerprint": fp,
+                            text_col: text,
+                        }
+                    )
+        state.update((";".join(sorted(seen)),))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(rows, columns=["key", "fingerprint", text_col])
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return pages_stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        first_seen,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
 
 
 def run_incremental_linkage(

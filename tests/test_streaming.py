@@ -78,3 +78,44 @@ def test_incremental_linkage(spark, tmp_path):
     assert golden <= found
     # corpus accumulated every page exactly once
     assert spark.read.parquet(corpus).count() == len(rows)
+
+
+def test_stateful_first_seen(spark, tmp_path):
+    from bib_dedupe_spark.streaming.dedup_stream import stream_stateful_first_seen
+
+    src = str(tmp_path / "pages_state")
+    rows, _ = synthesize_webpages(12, dup_rate=0.0, seed=5)
+    dup = dict(rows[0])
+    dup["url"] = rows[0]["url"] + "?again"
+    _write_pages(spark, rows + [dup], src)
+
+    sink = str(tmp_path / "first_seen_out")
+
+    def run_once():
+        stream = spark.readStream.schema(PAGE_SCHEMA).parquet(src)
+        dedup = stream_stateful_first_seen(stream, key_col="lang")
+        q = (
+            dedup.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    first = spark.read.parquet(sink).collect()
+    assert len(first) == 12  # duplicate content suppressed
+    assert len({r["fingerprint"] for r in first}) == 12
+
+    # second batch: all re-crawls of known content → nothing new emitted
+    recrawls = []
+    for r in rows[:5]:
+        rc = dict(r)
+        rc["url"] = r["url"] + "?rc2"
+        recrawls.append(rc)
+    _write_pages(spark, recrawls, src)
+    run_once()  # restart from the same checkpoint: state is durable
+    second = spark.read.parquet(sink).collect()
+    assert len(second) == 12
