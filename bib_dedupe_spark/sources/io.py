@@ -46,3 +46,25 @@ def write_records(
         writer.parquet(path)
     else:
         raise ValueError(f"unsupported record format: {fmt}")
+
+
+def write_records_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int = 64,
+    bucket_col: str = "ID",
+) -> None:
+    """Persist records hash-bucketed (and sorted) on ``bucket_col``.
+
+    Pre-bucketing co-locates the blocking enrichment joins and the
+    merge-stage cluster join: two tables bucketed the same way join with
+    NO shuffle exchange on the bucketed key — the 100 TB layout for a
+    corpus that is linked repeatedly (e.g. per crawl increment).
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
