@@ -257,10 +257,36 @@ def block(
         records_df, max_block_size=max_block_size, cache=cache
     )
 
+    # prune BEFORE the wide enrichment: both filters need only
+    # (title, search_set), and pruning typically drops the vast majority
+    # of candidates — enriching 35 columns first would shuffle orders of
+    # magnitude more bytes for rows that are about to be discarded
+    slim_1 = records_df.select(
+        F.col(C.ID).alias("ID_1"),
+        F.col(C.TITLE).alias("title_1"),
+        F.col(C.SEARCH_SET).alias("search_set_1"),
+    )
+    slim_2 = records_df.select(
+        F.col(C.ID).alias("ID_2"),
+        F.col(C.TITLE).alias("title_2"),
+        F.col(C.SEARCH_SET).alias("search_set_2"),
+    )
+    surviving = (
+        pairs.join(slim_1, "ID_1")
+        .join(slim_2, "ID_2")
+        .filter(_title_overlap_keep())
+        .filter(
+            ~(
+                (F.col("search_set_1") == F.col("search_set_2"))
+                & (F.col("search_set_1") != "")
+            )
+        )
+        .select("ID_1", "ID_2", "rule_idx")
+    )
+
     rule_names = F.array(
         *[F.lit(rule_name(fields)) for fields, _ in BLOCKING_RULES]
     )
-
     left_rec = records_df.select(
         *[F.col(c).alias(f"{c}_1") for c in C.PREPARED_FIELDS]
     )
@@ -269,16 +295,9 @@ def block(
     )
 
     enriched = (
-        pairs.join(left_rec, "ID_1", "left")
+        surviving.join(left_rec, "ID_1", "left")
         .join(right_rec, "ID_2", "left")
         .withColumn(C.BLOCK_RULE, rule_names[F.col("rule_idx")])
     )
 
-    pruned = enriched.filter(_title_overlap_keep()).filter(
-        ~(
-            (F.col("search_set_1") == F.col("search_set_2"))
-            & (F.col("search_set_1") != "")
-        )
-    )
-
-    return pruned.select(*C.pair_columns())
+    return enriched.select(*C.pair_columns())
