@@ -513,6 +513,24 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold form), integer-
+    scaled similarity for exact cross-engine comparison."""
+    emb = _embeddings(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    cos = _unit_dot(F.col("v1"), F.col("v2")) / F.sqrt(
+        _unit_dot(F.col("v1"), F.col("v1"))
+        * _unit_dot(F.col("v2"), F.col("v2"))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.floor(cos * 10000).cast("long").alias("cos_bp"))
+        .filter(F.col("cos_bp") >= 4000)
+    )
+
+
 def q_embedding_sign_lsh(spark, sf_dir):
     """Sign-based LSH bucketing of embeddings (scale path for ANN)."""
     emb = _embeddings(spark, sf_dir)
@@ -643,6 +661,7 @@ QUERIES = {
     "quality_flags": q_quality_flags,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "embedding_sign_lsh": q_embedding_sign_lsh,
     "events_agg": q_events_agg,
     "top_orders": q_top_orders,
@@ -884,6 +903,19 @@ ORACLES = {
         " (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)"
         "  AS rank FROM scored)"
         " SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3"
+    ),
+    "embedding_near_dup": (
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)"
+        " SELECT a.vec_id AS id1, b.vec_id AS id2,"
+        " CAST(floor(list_dot_product(a.v, b.v) /"
+        "   sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))"
+        "   * 10000) AS BIGINT) AS cos_bp"
+        " FROM e a JOIN e b ON a.vec_id < b.vec_id"
+        " WHERE floor(list_dot_product(a.v, b.v) /"
+        "   sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))"
+        "   * 10000) >= 4000"
     ),
     "embedding_sign_lsh": (
         "SELECT vec_id, label,"
