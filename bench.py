@@ -83,18 +83,21 @@ def run_dedupe(spark) -> dict:
     scored.count()
     t_sim = time.time() - t0
 
-    # scoring-engine throughput at the BASELINE-mandated pair volume
-    # (≥500k): replicate the blocked pairs so the sim stage dominates the
-    # fixed per-job overhead — same value distribution, honest kernel load
-    replicas = max(1, 500_000 // max(n_pairs, 1))
-    from pyspark.sql import functions as F
-
+    # scoring-engine throughput at a large NATURAL pair volume (replicated
+    # pairs would hit the per-side kernel caches dishonestly): a bigger
+    # corpus yields a few hundred thousand distinct blocked pairs
+    big_records, _ = generate(
+        n_base=int(os.environ.get("BENCH_THROUGHPUT_RECORDS", "40000")),
+        seed=7,
+    )
+    big_rdf = spark.createDataFrame(pd.DataFrame(big_records)).repartition(
+        CPUS * 2
+    )
+    big_prepared = prep(big_rdf).persist()
+    big_prepared.count()
     big_pairs = (
-        pairs.withColumn(
-            "_r", F.explode(F.sequence(F.lit(1), F.lit(replicas)))
-        )
-        .drop("_r")
-        .repartition(CPUS * 2)
+        block(big_prepared, max_block_size=2000)
+        .repartition(CPUS * 4)
         .persist()
     )
     n_big = big_pairs.count()
@@ -103,6 +106,7 @@ def run_dedupe(spark) -> dict:
     score(big_pairs).write.format("noop").mode("overwrite").save()
     t_sim_big = time.time() - t0
     big_pairs.unpersist()
+    big_prepared.unpersist()
 
     t0 = time.time()
     matched = match_scored(scored, persist=False).persist()

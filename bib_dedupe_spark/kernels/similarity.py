@@ -14,6 +14,7 @@ inside Arrow-batched pandas UDFs only (see operators/sim.py).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from bib_dedupe_spark.kernels import fuzz
 
@@ -62,6 +63,19 @@ def sim_token_sort(s1: str, s2: str) -> float:
     return 0.0
 
 
+@lru_cache(maxsize=8192)
+def _caps_of(full: str) -> str:
+    return " ".join(_RE_CAPITALS.findall(full))
+
+
+@lru_cache(maxsize=8192)
+def _title_fuzzy_form(t: str) -> str:
+    """Stopword-stripped, digit-spaced title form fed to fuzz.ratio
+    (cached per side: pure function of one title)."""
+    t = " ".join(w for w in t.split() if w not in TITLE_SIM_STOPWORDS)
+    return _RE_LETTER_DIGIT.sub(r"\1 \2", t)
+
+
 def sim_author(a1: str, full1: str, a2: str, full2: str) -> float:
     """Author similarity: max over truncated token-sort, partial,
     capital-initials token-sort, and full-string token-sort signals."""
@@ -82,9 +96,7 @@ def sim_author(a1: str, full1: str, a2: str, full2: str) -> float:
 
     initials = 0.0
     if len(full1) > 5 and len(full2) > 5:
-        caps1 = " ".join(_RE_CAPITALS.findall(full1))
-        caps2 = " ".join(_RE_CAPITALS.findall(full2))
-        initials = fuzz.token_sort_ratio(caps1, caps2) / 100
+        initials = fuzz.token_sort_ratio(_caps_of(full1), _caps_of(full2)) / 100
 
     full = 0.0
     if full1 != "" and full2 != "":
@@ -171,10 +183,8 @@ def sim_title(raw1: str, raw2: str) -> float:
     if t1.endswith(t2) or t2.endswith(t1):
         return 1.0
 
-    t1 = " ".join(w for w in t1.split() if w not in TITLE_SIM_STOPWORDS)
-    t2 = " ".join(w for w in t2.split() if w not in TITLE_SIM_STOPWORDS)
-    t1 = _RE_LETTER_DIGIT.sub(r"\1 \2", t1)
-    t2 = _RE_LETTER_DIGIT.sub(r"\1 \2", t2)
+    t1 = _title_fuzzy_form(t1)
+    t2 = _title_fuzzy_form(t2)
 
     score = fuzz.ratio(t1, t2) / 100
 
@@ -245,7 +255,10 @@ _RE_AB_NON_ALNUM = re.compile(r"[^a-z0-9\s]")
 _RE_WS = re.compile(r"\s+")
 
 
+@lru_cache(maxsize=8192)
 def _normalize_abstract(text: str) -> str:
+    # cached: one record's abstract is re-normalized for every pair it
+    # appears in (pure function, so caching preserves exactness)
     text = "" if text is None else str(text)
     text = _RE_AB_LETTER_DIGIT_GAP.sub(r"\1\2", text)
     text = _RE_AB_LETTER_LETTER_GAP.sub(r"\1\2", text)

@@ -76,19 +76,20 @@ def run_at(cores: int) -> dict:
     sim_match_wall = time.time() - t0
     total_wall = time.time() - t_start
 
-    # dominant-stage load: replicate blocked pairs to the BASELINE-mandated
-    # ≥500k volume so the measurement is compute-bound, not job-overhead
-    from pyspark.sql import functions as F
-
-    replicas = max(
-        1,
-        int(os.environ.get("SCALING_PAIR_LOAD", "500000")) // max(n_pairs, 1),
+    # dominant-stage load: a bigger corpus's NATURAL blocked pairs
+    # (replicated pairs would hit the per-side kernel caches dishonestly)
+    big_records, _ = generate(
+        n_base=int(os.environ.get("SCALING_THROUGHPUT_RECORDS", "15000")),
+        seed=7,
     )
-    big_pairs = (
-        pairs.withColumn(
-            "_r", F.explode(F.sequence(F.lit(1), F.lit(replicas)))
+    big_prepared = prep(
+        spark.createDataFrame(pd.DataFrame(big_records)).repartition(
+            cores * 2
         )
-        .drop("_r")
+    ).persist()
+    big_prepared.count()
+    big_pairs = (
+        block(big_prepared, max_block_size=2000)
         .repartition(cores * 4)
         .persist()
     )
