@@ -56,11 +56,14 @@ def test_window_scans_agree(a, b):
 
 @settings(max_examples=150, deadline=None)
 @given(_alpha, _alpha)
-def test_partial_ratio_dominates_ratio(a, b):
-    # best-window similarity can never be below the full-string ratio
-    if not a or not b:
+def test_partial_ratio_substring_is_perfect(a, b):
+    # a needle embedded verbatim in the haystack always scores 100
+    # (NOTE: partial_ratio is NOT ≥ ratio in general — windows are capped
+    # at needle length, so a spread-out alignment can beat every window)
+    if not a:
         return
-    assert fuzz.partial_ratio(a, b) >= fuzz.ratio(a, b) - 1e-9
+    assert fuzz.partial_ratio(a, b + a + b) == 100.0
+    assert 0.0 <= fuzz.partial_ratio(a, b) <= 100.0 if b else True
 
 
 _number_words = st.lists(
