@@ -391,7 +391,7 @@ def q_token_stats(spark, sf_dir):
             F.transform("w", F.length),
             F.lit(0),
             lambda acc, x: acc + x,
-        ).alias("token_chars"),
+        ).cast("long").alias("token_chars"),
     )
 
 
@@ -857,8 +857,8 @@ ORACLES = {
     "token_stats": (
         "SELECT doc_id, len(string_split(text,' ')) AS n_tokens,"
         " len(list_distinct(string_split(text,' '))) AS n_uniq,"
-        " list_sum(list_transform(string_split(text,' '), w -> len(w)))"
-        "  AS token_chars"
+        " CAST(list_sum(list_transform(string_split(text,' '), w -> len(w)))"
+        "  AS BIGINT) AS token_chars"
         " FROM documents"
     ),
     "quality_flags": (

@@ -13,14 +13,21 @@ Output: ``DataFrame[ID, component]`` where component = min node id of the
 component — matching the reference's sorted-first-ID cluster identity.
 
 Same-search_set constraint: the reference excludes a node from a component
-when its non-empty search_set is already present, in DFS visit order. We
-run unconstrained CC first, then deterministically split extra same-set
-members (all but the min-ID holder of each (component, set)) into
-singleton components — equivalent on all non-adversarial inputs since
-same-set pairs were already pruned at blocking (block.py:127-149).
+when its non-empty search_set is already present, in DFS visit order
+(cluster.py:56-64) — an evicted node stays unvisited and later anchors a
+new component that absorbs its not-yet-visited neighbors. We run
+unconstrained CC first (fast path: the constraint binds only on rare
+transitive same-set chains, since direct same-set pairs were already
+pruned at blocking, block.py:127-149), then re-run the reference's exact
+DFS — over edges in canonical ``(src, dst)``-sorted order — on ONLY the
+conflicted components, each as one ``applyInPandas`` group. Parity claim:
+output is identical to the reference when the reference receives its
+matched pairs sorted by (ID_1, ID_2); for other row orders the reference
+itself is input-order-dependent (dict/DFS insertion order).
 """
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -109,6 +116,59 @@ def connected_components(
     )
 
 
+def _constrained_split_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Reference-faithful constrained DFS over one conflicted component.
+
+    Re-implements /root/reference/bib_dedupe/cluster.py:13-64 semantics
+    (recursive pre-order DFS; a node whose non-empty search_set is already
+    in the component is rejected — left unvisited — and later anchors a
+    fresh component) as an explicit stack, over edges in canonical
+    (src, dst)-sorted order. Components are labeled by min member ID.
+    """
+    pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+    adj: dict[str, list[str]] = {}
+    eset: dict[str, str] = {}
+    for src, dst, s1, s2 in zip(
+        pdf["src"], pdf["dst"], pdf["sset_src"], pdf["sset_dst"]
+    ):
+        # adjacency in edge order, both directions (cluster.py:24-32)
+        adj.setdefault(src, []).append(dst)
+        adj.setdefault(dst, []).append(src)
+        # last row wins, as in the reference's iterrows map (:104-106);
+        # None/NaN normalized to "" (unconstrained, like falsy sets :62)
+        eset[src] = s1 if isinstance(s1, str) else ""
+        eset[dst] = s2 if isinstance(s2, str) else ""
+
+    visited: set[str] = set()
+    out_ids: list[str] = []
+    out_comp: list[str] = []
+    for start in adj:  # insertion order = first appearance in edge order
+        if start in visited:
+            continue
+        component: list[str] = []
+        comp_sets: set[str] = set()
+        stack = [start]
+        while stack:
+            node = stack.pop()
+            if node in visited:
+                continue
+            node_set = eset[node]
+            if node_set and node_set in comp_sets:
+                continue  # rejected, stays unvisited (cluster.py:58-59)
+            visited.add(node)
+            component.append(node)
+            if node_set:
+                comp_sets.add(node_set)
+            # reversed push = recursive pre-order neighbor traversal
+            for nb in reversed(adj[node]):
+                if nb not in visited:
+                    stack.append(nb)
+        comp_id = min(component)
+        out_ids.extend(component)
+        out_comp.extend([comp_id] * len(component))
+    return pd.DataFrame({C.ID: out_ids, C.COMPONENT: out_comp})
+
+
 def cluster(
     matched_df: DataFrame,
     label: str = C.DUPLICATE,
@@ -118,26 +178,30 @@ def cluster(
     """Labeled edge list → DataFrame[ID, component].
 
     Only edges carrying ``label`` participate (cluster.py:98). Components
-    are identified by their minimum member ID.
+    are identified by their minimum member ID. The same-search_set
+    constraint follows the reference DFS exactly (see module docstring):
+    distributed CC first, then per-component DFS resolution restricted to
+    the (rare) components that actually contain a same-set conflict.
     """
-    edges = matched_df.filter(F.col(C.DUPLICATE_LABEL) == label).select(
-        F.col("ID_1").alias("src"), F.col("ID_2").alias("dst")
+    edges_full = matched_df.filter(F.col(C.DUPLICATE_LABEL) == label).select(
+        F.col("ID_1").alias("src"),
+        F.col("ID_2").alias("dst"),
+        F.coalesce(F.col("search_set_1"), F.lit("")).alias("sset_src"),
+        F.coalesce(F.col("search_set_2"), F.lit("")).alias("sset_dst"),
     )
+    edges = edges_full.select("src", "dst")
 
     components = connected_components(edges, checkpoint_dir=checkpoint_dir)
 
     if not enforce_search_sets:
         return components
 
-    # search_set lookup from the edge endpoints (cluster.py:102-106)
+    # per-node search_set from the edge endpoints (cluster.py:102-106)
     sets_df = (
-        matched_df.filter(F.col(C.DUPLICATE_LABEL) == label)
-        .select(
-            F.col("ID_1").alias(C.ID), F.col("search_set_1").alias("sset")
-        )
+        edges_full.select(F.col("src").alias(C.ID), F.col("sset_src").alias("sset"))
         .unionByName(
-            matched_df.filter(F.col(C.DUPLICATE_LABEL) == label).select(
-                F.col("ID_2").alias(C.ID), F.col("search_set_2").alias("sset")
+            edges_full.select(
+                F.col("dst").alias(C.ID), F.col("sset_dst").alias("sset")
             )
         )
         .groupBy(C.ID)
@@ -145,19 +209,36 @@ def cluster(
     )
 
     labeled = components.join(sets_df, C.ID, "left").fillna({"sset": ""})
-    from pyspark.sql.window import Window
+    # components where the constraint actually binds: >1 member of one set
+    conflicted = (
+        labeled.filter(F.col("sset") != "")
+        .groupBy(C.COMPONENT, "sset")
+        .count()
+        .filter(F.col("count") > 1)
+        .select(C.COMPONENT)
+        .distinct()
+    )
 
-    w = Window.partitionBy(C.COMPONENT, "sset").orderBy(C.ID)
-    ranked = labeled.withColumn(
-        "_rank",
-        F.when(F.col("sset") == "", F.lit(1)).otherwise(
-            F.row_number().over(w)
-        ),
+    # fast path: untouched components pass through with no extra shuffle
+    clean = components.join(
+        F.broadcast(conflicted), C.COMPONENT, "left_anti"
+    ).select(C.ID, C.COMPONENT)
+
+    # conflicted components: ship each component's edges to one pandas
+    # group and run the reference DFS (conflicts are rare by construction
+    # — direct same-set pairs were pruned at blocking — so this arm sees
+    # a tiny fraction of the graph; a pathologically giant conflicted
+    # component is a data-quality signal either way)
+    comp_of_src = components.select(
+        F.col(C.ID).alias("src"), F.col(C.COMPONENT).alias("_comp")
     )
-    # extra same-set members leave the component (become singletons)
-    return ranked.select(
-        C.ID,
-        F.when(F.col("_rank") == 1, F.col(C.COMPONENT))
-        .otherwise(F.col(C.ID))
-        .alias(C.COMPONENT),
+    conflicted_edges = edges_full.join(comp_of_src, "src").join(
+        F.broadcast(conflicted.withColumnRenamed(C.COMPONENT, "_comp")),
+        "_comp",
+        "semi",
     )
+    resolved = conflicted_edges.groupBy("_comp").applyInPandas(
+        _constrained_split_pdf,
+        schema=f"{C.ID} string, {C.COMPONENT} string",
+    )
+    return clean.unionByName(resolved)

@@ -65,3 +65,80 @@ def test_search_set_pipeline_parity(spark):
         for r in matched_ref.itertuples()
     }
     assert got_edges == want_edges
+
+
+def _ref_components(matched_pd):
+    for p in (_SHIMS, str(REFERENCE_ROOT)):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from bib_dedupe.cluster import get_connected_components
+
+    return {frozenset(c) for c in get_connected_components(matched_pd)}
+
+
+def _our_components(spark, matched_pd):
+    from bib_dedupe_spark import cluster
+
+    got = cluster(spark.createDataFrame(matched_pd)).collect()
+    comps = {}
+    for r in got:
+        comps.setdefault(r["component"], set()).add(r["ID"])
+    return {frozenset(v) for v in comps.values()}
+
+
+def _matched(rows):
+    """rows = [(ID_1, ID_2, set_1, set_2)]; canonical (ID_1, ID_2) order."""
+    df = pd.DataFrame(
+        rows, columns=["ID_1", "ID_2", "search_set_1", "search_set_2"]
+    )
+    df["duplicate_label"] = "duplicate"
+    return df.sort_values(["ID_1", "ID_2"]).reset_index(drop=True)
+
+
+def test_transitive_same_set_chain_parity(spark):
+    """a-b, b-c with a,c in one set: DFS keeps first-visited a, evicts c."""
+    m = _matched(
+        [("a", "b", "S", ""), ("b", "c", "", "S")]
+    )
+    want = _ref_components(m)
+    assert want == {frozenset({"a", "b"}), frozenset({"c"})}
+    assert _our_components(spark, m) == want
+
+
+def test_evicted_node_keeps_downstream_subtree(spark):
+    """a-b, b-c, c-d with a,c in one set: evicted c anchors {c,d}."""
+    m = _matched(
+        [("a", "b", "S", ""), ("b", "c", "", "S"), ("c", "d", "S", "")]
+    )
+    want = _ref_components(m)
+    assert want == {frozenset({"a", "b"}), frozenset({"c", "d"})}
+    assert _our_components(spark, m) == want
+
+
+def test_first_visited_beats_min_id(spark):
+    """DFS reaches c (set S) before b (set S, smaller ID): c is kept.
+
+    This is exactly the case where the round-1 min-ID tie-break diverged
+    from the reference; pins the reference's visit-order semantics.
+    """
+    m = _matched(
+        [("a", "c", "", "S"), ("c", "d", "S", ""), ("b", "d", "S", "")]
+    )
+    want = _ref_components(m)
+    assert want == {frozenset({"a", "c", "d"}), frozenset({"b"})}
+    assert _our_components(spark, m) == want
+
+
+def test_multi_conflict_and_clean_components_mixed(spark):
+    """Conflicted and clean components in one edge list resolve independently."""
+    m = _matched(
+        [
+            ("a", "b", "S", ""),
+            ("b", "c", "", "S"),
+            ("x", "y", "T", "U"),
+            ("p", "q", "", ""),
+        ]
+    )
+    want = _ref_components(m)
+    assert _our_components(spark, m) == want
+    assert frozenset({"x", "y"}) in want and frozenset({"p", "q"}) in want
