@@ -146,11 +146,11 @@ def merge(
     if not has_order:
         df = df.withColumn(_ROW_ORDER, F.monotonically_increasing_id())
 
-    # only multi-member components need survivorship
-    sizes = components.groupBy(C.COMPONENT).agg(F.count("*").alias("_n"))
-    clustered_ids = components.join(
-        sizes.filter(F.col("_n") > 1), C.COMPONENT
-    ).select(C.ID, C.COMPONENT)
+    # ALL records in the cluster map go through survivorship — the
+    # reference applies merge functions to singleton duplicate_id_sets too
+    # (merge.py:176,227-231: e.g. origin 'b; a' normalizes to 'a;b' even
+    # for a one-member set), so size-1 components must not shortcut.
+    clustered_ids = components.select(C.ID, C.COMPONENT)
 
     # AQE promotes this to a broadcast join when the cluster map is small
     tagged = df.join(clustered_ids, C.ID, "left")
@@ -158,12 +158,33 @@ def merge(
     untouched = tagged.filter(F.col(C.COMPONENT).isNull()).select(*string_cols)
     to_merge = tagged.filter(F.col(C.COMPONENT).isNotNull())
 
+    # reference merge.py:236-247: the nr_intext_citations merge function
+    # (when supplied) is also applied to non-duplicates as 1-value lists
+    if "nr_intext_citations" in functions and "nr_intext_citations" in string_cols:
+        _cite_fn = functions["nr_intext_citations"]
+
+        @F.pandas_udf("string")
+        def _apply_cite_single(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: _cite_fn([v]))
+
+        untouched = untouched.withColumn(
+            "nr_intext_citations", _apply_cite_single("nr_intext_citations")
+        )
+
     out_cols = list(string_cols)
     apply_cols = [c for c in out_cols if c in functions]
+    id_fn = functions.get(C.ID)
 
     def survive(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(_ROW_ORDER, kind="stable")
-        keep_id = min(pdf[C.ID])
+        ids = sorted(pdf[C.ID])
+        keep_id = ids[0]
+        if id_fn is not None:
+            # reference merge.py:210-221: custom ID picker, with fallback
+            # to the first (min) ID when its choice is absent
+            candidate = id_fn(list(ids))
+            if candidate in set(ids):
+                keep_id = candidate
         keep = pdf[pdf[C.ID] == keep_id].iloc[[0]].copy()
         for col in apply_cols:
             keep[col] = functions[col](pdf[col].tolist())

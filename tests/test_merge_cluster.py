@@ -91,3 +91,54 @@ def test_cluster_ignores_maybe_edges(spark):
     )
     got = {r["ID"]: r["component"] for r in cluster(matched).collect()}
     assert got == {"c": "c", "d": "c"}
+
+
+def test_merge_applies_reducers_to_singleton_components(spark):
+    """Reference merge.py:176,227-231: merge functions run on size-1 sets
+    too — origin 'b; a' normalizes to 'a;b' for a singleton component."""
+    records = spark.createDataFrame(
+        [("s1", "b; a", "t"), ("s2", "d; c", "t2")], ["ID", "origin", "title"]
+    )
+    components = spark.createDataFrame([("s1", "s1")], ["ID", "component"])
+    rows = {r["ID"]: r.asDict() for r in merge(records, components).collect()}
+    assert rows["s1"]["origin"] == "a;b"  # singleton set, reducer applied
+    assert rows["s2"]["origin"] == "d; c"  # not in any set: untouched
+
+
+def test_merge_nr_intext_citations_on_non_duplicates(spark):
+    """Reference merge.py:236-247: a supplied nr_intext_citations merge
+    function also runs on non-duplicates (single-value lists)."""
+    records = spark.createDataFrame(
+        [("a", "3", "t1"), ("b", "4", "t2"), ("c", "5", "t3")],
+        ["ID", "nr_intext_citations", "title"],
+    )
+    components = spark.createDataFrame(
+        [("a", "a"), ("b", "a")], ["ID", "component"]
+    )
+    fn = lambda vals: str(sum(int(v) for v in vals if v))
+    rows = {
+        r["ID"]: r.asDict()
+        for r in merge(
+            records, components, merge_functions={"nr_intext_citations": fn}
+        ).collect()
+    }
+    assert rows["a"]["nr_intext_citations"] == "7"  # merged 3+4
+    assert rows["c"]["nr_intext_citations"] == "5"  # fn applied to ['5']
+
+
+def test_merge_custom_id_function(spark):
+    """Reference merge.py:210-221: custom ID picker with first-ID fallback."""
+    records = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("c", "z"), ("d", "w")], ["ID", "title"]
+    )
+    components = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")], ["ID", "component"]
+    )
+    pick_last = lambda ids: sorted(ids)[-1]
+    rows = {
+        r["ID"]: r.asDict()
+        for r in merge(
+            records, components, merge_functions={"ID": pick_last}
+        ).collect()
+    }
+    assert set(rows) == {"b", "d"}
