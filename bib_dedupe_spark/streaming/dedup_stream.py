@@ -137,9 +137,27 @@ def run_incremental_linkage(
     from bib_dedupe_spark.sources.webpages import records_from_webpages
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
+        # corpus ID uniqueness (ID := url): FIRST capture wins. Re-crawls
+        # of a url already linked carry the same entity identity, so a
+        # duplicate ID would only fan out enrichment joins and violate
+        # the ID_1 < ID_2 pair invariant. Within the batch keep the
+        # earliest warc_ts per url (per-url window — no global shuffle
+        # skew: partitionBy bounds each partition to one url's captures).
+        batch_df = (
+            batch_df.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("url").orderBy("warc_ts")
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         prepared_batch = prep(
             records_from_webpages(batch_df), validate=False
         ).withColumn("_batch", F.lit(batch_id))
@@ -148,6 +166,15 @@ def run_incremental_linkage(
             corpus = spark.read.parquet(corpus_path)
         except Exception:
             corpus = None
+
+        if corpus is not None:
+            # drop urls already in the corpus (first capture wins) so the
+            # accumulating corpus keeps exactly one row per ID
+            prepared_batch = prepared_batch.join(
+                corpus.select("ID"), "ID", "left_anti"
+            )
+            if prepared_batch.limit(1).count() == 0:
+                return
 
         if corpus is not None and corpus.limit(1).count() > 0:
             # delta blocking: pairs within the new batch OR crossing into

@@ -119,3 +119,43 @@ def test_stateful_first_seen(spark, tmp_path):
     run_once()  # restart from the same checkpoint: state is durable
     second = spark.read.parquet(sink).collect()
     assert len(second) == 12
+
+
+def test_incremental_linkage_recrawl_keeps_corpus_ids_unique(spark, tmp_path):
+    """A re-crawled url (same ID) must not duplicate corpus rows: first
+    capture wins, within a batch (earliest warc_ts) and across batches."""
+    import datetime
+
+    src = str(tmp_path / "pages_rc")
+    corpus = str(tmp_path / "corpus_rc")
+    edges = str(tmp_path / "edges_rc")
+    rows, _ = synthesize_webpages(10, dup_rate=0.0, seed=11)
+    # same-batch re-crawl: identical url, later ts, different text
+    rc0 = dict(rows[0])
+    rc0["warc_ts"] = rows[0]["warc_ts"] + datetime.timedelta(days=1)
+    rc0["text"] = "changed " + (rows[0]["text"] or "")
+    _write_pages(spark, rows + [rc0], src)
+
+    stream = spark.readStream.schema(PAGE_SCHEMA).parquet(src)
+    q = run_incremental_linkage(
+        stream, corpus, edges, str(tmp_path / "ckpt_rc"), max_block_size=None
+    ).start()
+    q.awaitTermination(240)
+
+    # cross-batch re-crawl of a different url
+    rc1 = dict(rows[1])
+    rc1["warc_ts"] = rows[1]["warc_ts"] + datetime.timedelta(days=2)
+    _write_pages(spark, [rc1], src)
+    stream = spark.readStream.schema(PAGE_SCHEMA).parquet(src)
+    q = run_incremental_linkage(
+        stream, corpus, edges, str(tmp_path / "ckpt_rc"), max_block_size=None
+    ).start()
+    q.awaitTermination(240)
+
+    got = spark.read.parquet(corpus)
+    ids = [r["ID"] for r in got.select("ID").collect()]
+    assert len(ids) == len(set(ids)) == 10  # one row per url, ever
+    # first capture won: the original text's title survived for rows[0]
+    first_title = (rows[0]["text"] or "").split(".")[0]
+    kept = {r["ID"]: r["title"] for r in got.select("ID", "title").collect()}
+    assert not kept[rows[0]["url"]].startswith("changed")
