@@ -12,7 +12,6 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from bib_dedupe_spark import constants as C
 from bib_dedupe_spark.kernels import fuzz
@@ -68,9 +67,11 @@ def export_maybe(matched_df: DataFrame, records_df: DataFrame) -> DataFrame:
         .select("ID_1", "ID_2")
     )
 
-    # deterministic cluster ids: dense numbering over the ordered pair key
-    w = Window.orderBy("ID_1", "ID_2")
-    pairs = pairs.withColumn("cluster_ID", F.row_number().over(w) - 1)
+    # deterministic cluster ids derived from the pair key itself — the
+    # reference's enumerate() index (maybe_cases.py:93-95) is row-order
+    # cosmetic, and a global Window.orderBy would funnel every maybe pair
+    # through one partition; xxhash64 keeps the plan fully parallel
+    pairs = pairs.withColumn("cluster_ID", F.xxhash64("ID_1", "ID_2"))
 
     members = pairs.select(
         "cluster_ID", F.col("ID_1").alias(C.ID), F.lit(0).alias("_pos")

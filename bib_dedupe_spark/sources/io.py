@@ -68,3 +68,57 @@ def write_records_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def write_maybe_cases(
+    df: DataFrame, file_path: str, now: "datetime | None" = None
+) -> str | None:
+    """Write the maybe-review table as ONE csv file, rotating any prior
+    export first.
+
+    Mirrors the reference's rotation convention (maybe_cases.py:133-142):
+    an existing review file is renamed to ``<stem>_<YYYYmmddHHMMSS><ext>``
+    before the new export is written, so a reviewer's in-progress edits are
+    never clobbered by a re-export. Deviation: the rotated file stays in
+    the SAME directory (the reference renames into the process CWD, which
+    strands the backup when run from elsewhere).
+
+    The review table is human-scale by definition, so a single driver-side
+    file (collect via pandas) is the right shape here — the distributed
+    writers above remain for machine-scale sinks.
+
+    Returns the rotation target path when a prior file existed.
+    """
+    import shutil
+    from datetime import datetime
+    from pathlib import Path
+
+    target = Path(file_path)
+    rotated: str | None = None
+    if target.exists():
+        stamp = (now or datetime.now()).strftime("%Y%m%d%H%M%S")
+        rotated = str(target.with_name(f"{target.stem}_{stamp}{target.suffix}"))
+        shutil.move(str(target), rotated)
+    target.parent.mkdir(parents=True, exist_ok=True)
+    df.toPandas().to_csv(str(target), index=False)
+    return rotated
+
+
+def read_maybe_cases(spark: SparkSession, file_path: str) -> DataFrame:
+    """Load a (possibly reviewer-edited) maybe-cases csv for import_maybe.
+
+    cluster_ID comes back as long (it is a pair-key hash), similarity
+    as double, everything else as string (maybe_cases.py:170 reads with
+    pandas defaults; the import path only consumes duplicate_label,
+    cluster_ID and ID).
+    """
+    df = spark.read.option("header", "true").csv(file_path)
+    casts = []
+    for c in df.columns:
+        if c == "cluster_ID":
+            casts.append(F.col(c).cast("long").alias(c))
+        elif c == "similarity_score":
+            casts.append(F.col(c).cast("double").alias(c))
+        else:
+            casts.append(F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c))
+    return df.select(*casts)

@@ -75,3 +75,57 @@ def test_import_maybe_promotes_and_drops(spark):
     assert rows[("d", "e")] == "duplicate"  # promoted
     assert ("b", "c") not in rows  # unconfirmed maybe dropped
     assert rows[("x", "y")] == "duplicate"
+
+
+def test_maybe_csv_rotation_round_trip(spark, tmp_path):
+    """Two successive exports must not clobber a reviewer's edits: the
+    first (edited) file rotates to a timestamped sibling, and the rotated
+    edits still drive import_maybe (maybe_cases.py:133-142 convention)."""
+    from datetime import datetime
+
+    from bib_dedupe_spark.operators.maybe import export_maybe, import_maybe
+    from bib_dedupe_spark.sources.io import read_maybe_cases, write_maybe_cases
+
+    matched = spark.createDataFrame(
+        [
+            ("r1", "r2", "maybe"),
+            ("r3", "r4", "maybe"),
+        ],
+        ["ID_1", "ID_2", "duplicate_label"],
+    )
+    records = spark.createDataFrame(
+        [
+            ("r1", "smith j", "alpha beta"),
+            ("r2", "smith j", "alpha beta gamma"),
+            ("r3", "jones k", "delta"),
+            ("r4", "brown l", "epsilon"),
+        ],
+        ["ID", "author", "title"],
+    )
+    review = export_maybe(matched, records)
+    path = str(tmp_path / "maybe_cases.csv")
+
+    rotated = write_maybe_cases(review, path)
+    assert rotated is None  # nothing to rotate on first export
+
+    # the reviewer confirms the r1-r2 cluster by editing the file
+    import pandas as pd
+
+    edited = pd.read_csv(path)
+    mask = edited["ID"].isin(["r1", "r2"])
+    edited.loc[mask, "duplicate_label"] = "duplicate"
+    edited.to_csv(path, index=False)
+
+    # a second export rotates the edited file instead of clobbering it
+    rotated = write_maybe_cases(review, path, now=datetime(2026, 8, 16, 12, 0, 0))
+    assert rotated is not None and rotated.endswith("maybe_cases_20260816120000.csv")
+    saved = pd.read_csv(rotated)
+    assert (saved.loc[saved["ID"].isin(["r1", "r2"]), "duplicate_label"]
+            == "duplicate").all()
+    fresh = pd.read_csv(path)
+    assert (fresh["duplicate_label"] == "maybe").all()
+
+    # the rotated (edited) review still round-trips through import_maybe
+    out = import_maybe(matched, read_maybe_cases(spark, rotated))
+    labels = {(r["ID_1"], r["ID_2"]): r["duplicate_label"] for r in out.collect()}
+    assert labels == {("r1", "r2"): "duplicate"}
