@@ -81,11 +81,26 @@ _DEFAULT_VARIANTS_PATH = "/root/reference/bib_dedupe/journal_variants.csv"
 _variants_cache: dict | None = None
 
 
-def load_journal_variants(path: str | None = None) -> dict:
-    """Ordered {title_variant_lower: canonical_journal_lower} mapping."""
+def load_journal_variants(
+    path: str | None = None, strict: bool | None = None
+) -> dict:
+    """Ordered {title_variant_lower: canonical_journal_lower} mapping.
+
+    Resolution order: explicit ``path`` arg → ``BIB_DEDUPE_JOURNAL_VARIANTS``
+    env var → the reference checkout's csv (dev convenience only;
+    prep_container_title.py:21-29 owns that file upstream). A deployed
+    engine must point the env var at its own variants table: when no file
+    resolves, behavior is controlled by ``strict`` (default: env var
+    ``BIB_DEDUPE_JOURNAL_VARIANTS_STRICT=1``) — strict raises, otherwise a
+    one-time loud warning is emitted and normalization proceeds with an
+    empty map (container titles then keep their variant spellings, which
+    can change blocking keys).
+    """
     global _variants_cache
     if path is None and _variants_cache is not None:
         return _variants_cache
+    if strict is None:
+        strict = os.environ.get(f"{_VARIANTS_ENV}_STRICT", "") == "1"
     candidate = path or os.environ.get(_VARIANTS_ENV) or _DEFAULT_VARIANTS_PATH
     mapping: dict = {}
     p = Path(candidate)
@@ -96,6 +111,18 @@ def load_journal_variants(path: str | None = None) -> dict:
                 canonical = (row.get("journal") or "").lower()
                 if variant:
                     mapping[variant] = canonical
+    else:
+        msg = (
+            f"journal-variants table not found at {candidate!r}; set "
+            f"{_VARIANTS_ENV} to your variants csv (columns: journal,"
+            " title_variant). Proceeding WITHOUT variant normalization"
+            " silently changes container-title blocking keys."
+        )
+        if strict:
+            raise FileNotFoundError(msg)
+        import warnings
+
+        warnings.warn(msg, UserWarning, stacklevel=2)
     if path is None:
         _variants_cache = mapping
     return mapping

@@ -73,3 +73,48 @@ def test_fix_schema_row(case):
     }
     for key, expected in case["expected"].items():
         assert got[key] == expected, f"{case['id']}: {key}"
+
+
+def test_journal_variants_missing_is_loud(tmp_path, monkeypatch):
+    """A missing variants table must warn (default) or raise (strict),
+    never silently degrade (round-1 verdict: behavior-affecting coupling
+    to the reference checkout)."""
+    import warnings
+
+    import pytest as _pytest
+
+    from bib_dedupe_spark.functions import containers
+
+    missing = str(tmp_path / "nope.csv")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = containers.load_journal_variants(path=missing)
+    assert got == {}
+    assert any("journal-variants table not found" in str(w.message) for w in caught)
+
+    with _pytest.raises(FileNotFoundError, match="journal-variants"):
+        containers.load_journal_variants(path=missing, strict=True)
+
+    monkeypatch.setenv("BIB_DEDUPE_JOURNAL_VARIANTS_STRICT", "1")
+    containers._variants_cache = None
+    monkeypatch.setenv("BIB_DEDUPE_JOURNAL_VARIANTS", missing)
+    try:
+        with _pytest.raises(FileNotFoundError):
+            containers.load_journal_variants()
+    finally:
+        containers._variants_cache = None
+
+
+def test_journal_variants_env_path(tmp_path, monkeypatch):
+    """BIB_DEDUPE_JOURNAL_VARIANTS points at an engine-owned table."""
+    from bib_dedupe_spark.functions import containers
+
+    own = tmp_path / "variants.csv"
+    own.write_text("journal,title_variant\nBMJ,British Medical Journal\n")
+    monkeypatch.setenv("BIB_DEDUPE_JOURNAL_VARIANTS", str(own))
+    containers._variants_cache = None
+    try:
+        got = containers.load_journal_variants()
+        assert got == {"british medical journal": "bmj"}
+    finally:
+        containers._variants_cache = None
