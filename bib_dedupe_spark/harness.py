@@ -513,6 +513,29 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN with fixed, deterministic centroids (the 4 lowest-vec_id
+    embeddings), so nearest-centroid assignment is DuckDB-expressible:
+    argmax dot → list equi-join → per-query rank. Ranks only (ints) for
+    exact cross-engine comparison, mirroring embedding_topk."""
+    import numpy as np
+
+    from bib_dedupe_spark.textops.similarity_search import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    cents = np.array(
+        [
+            list(r["embedding"])
+            for r in emb.orderBy("vec_id").limit(4).collect()
+        ],
+        dtype=np.float64,
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    return ivf_topk(
+        queries, emb, k=3, n_probe=2, centroids=cents
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (threshold form), integer-
     scaled similarity for exact cross-engine comparison."""
@@ -661,6 +684,7 @@ QUERIES = {
     "quality_flags": q_quality_flags,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
+    "ivf_topk": q_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_sign_lsh": q_embedding_sign_lsh,
     "events_agg": q_events_agg,
@@ -888,6 +912,36 @@ ORACLES = {
         " GROUP BY doc_id, j)"
         " SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,"
         " '' ORDER BY j) AS simhash FROM s GROUP BY doc_id"
+    ),
+    "ivf_topk": (
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings), "
+        "cents AS (SELECT v AS cv,"
+        " row_number() OVER (ORDER BY vec_id) - 1 AS cidx"
+        " FROM e ORDER BY vec_id LIMIT 4), "
+        "assign AS (SELECT e.vec_id, c.cidx,"
+        " row_number() OVER (PARTITION BY e.vec_id"
+        "  ORDER BY list_dot_product(e.v, c.cv) DESC, c.cidx ASC) AS rn"
+        " FROM e CROSS JOIN cents c), "
+        "corpus_lists AS (SELECT vec_id AS neighbor_id, cidx AS list_id"
+        " FROM assign WHERE rn = 1), "
+        "query_lists AS (SELECT vec_id AS query_id, cidx AS list_id"
+        " FROM assign WHERE rn <= 2 AND vec_id < 5), "
+        "cand AS (SELECT q.query_id, cl.neighbor_id"
+        " FROM query_lists q JOIN corpus_lists cl ON q.list_id = cl.list_id"
+        " WHERE q.query_id <> cl.neighbor_id), "
+        "cos AS (SELECT s.query_id, s.neighbor_id,"
+        " list_dot_product(eq.v, ec.v) /"
+        " sqrt(list_dot_product(eq.v, eq.v) * list_dot_product(ec.v, ec.v))"
+        "  AS c"
+        " FROM cand s JOIN e eq ON eq.vec_id = s.query_id"
+        " JOIN e ec ON ec.vec_id = s.neighbor_id) "
+        "SELECT query_id, neighbor_id, rank FROM ("
+        " SELECT query_id, neighbor_id,"
+        " CAST(row_number() OVER (PARTITION BY query_id"
+        "  ORDER BY c DESC, neighbor_id ASC) AS INT) AS rank FROM cos)"
+        " WHERE rank <= 3"
     ),
     "embedding_topk": (
         "WITH e AS (SELECT vec_id,"
