@@ -42,12 +42,13 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("phash", StringType(), True),
+        StructField("decoder", StringType(), False),
     ]
 )
 
 
 def _try_real_decoder():
-    try:  # pragma: no cover - decoder libs absent in this environment
+    try:
         from PIL import Image  # noqa: F401
 
         return Image
@@ -63,33 +64,62 @@ def _fake_dimensions(payload: bytes) -> tuple:
     return width, height
 
 
-def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
-    """binary payloads → per-image feature rows (stubbed decode).
+def _pil_features(Image, data: bytes) -> dict:
+    """Real decode: dimensions + 8x8 average-hash (aHash) fingerprint."""
+    import io
 
-    ``strict=True`` raises NotImplementedError when no real decoder is
-    installed — use it to fail fast on clusters that should have codecs.
+    with Image.open(io.BytesIO(data)) as img:
+        width, height = img.size
+        gray = img.convert("L").resize((8, 8))
+        px = list(gray.getdata())
+    mean = sum(px) / len(px)
+    bits = 0
+    for p in px:
+        bits = (bits << 1) | (1 if p >= mean else 0)
+    return {"width": width, "height": height, "phash": f"{bits:016x}"}
+
+
+def decode_images(media: DataFrame, strict: bool = True) -> DataFrame:
+    """binary payloads → per-image feature rows.
+
+    With PIL installed, features are real (size + average-hash) and rows
+    are tagged ``decoder='pil'`` (undecodable payloads yield null features
+    tagged ``decoder='error'``). Without PIL: ``strict=True`` (the
+    DEFAULT) raises NotImplementedError at plan time — no code path emits
+    fake features silently; ``strict=False`` opts into the deterministic
+    content-hash pseudo-decode, every row tagged ``decoder='synthetic'``.
     """
-    decoder = _try_real_decoder()
-    if strict and decoder is None:
+    if strict and _try_real_decoder() is None:
         raise NotImplementedError(
-            "image decoding requires PIL; not available in this environment"
+            "image decoding requires PIL; install it or pass strict=False"
+            " to opt into tagged synthetic features"
         )
 
     def run(iterator):
+        from bib_dedupe_spark.textops.multimodal import _try_real_decoder
+
+        Image = _try_real_decoder()  # probe executor-side, not via closure
         for pdf in iterator:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                width, height = _fake_dimensions(data)
-                out.append(
-                    {
-                        "media_id": media_id,
-                        "n_bytes": len(data),
-                        "width": width,
-                        "height": height,
-                        "phash": hashlib.md5(data).hexdigest()[:16],
-                    }
-                )
+                row = {"media_id": media_id, "n_bytes": len(data)}
+                if Image is not None:
+                    try:
+                        row.update(_pil_features(Image, data))
+                        row["decoder"] = "pil"
+                    except Exception:
+                        row.update(width=None, height=None, phash=None)
+                        row["decoder"] = "error"
+                else:
+                    width, height = _fake_dimensions(data)
+                    row.update(
+                        width=width,
+                        height=height,
+                        phash=hashlib.md5(data).hexdigest()[:16],
+                    )
+                    row["decoder"] = "synthetic"
+                out.append(row)
             yield pd.DataFrame(
                 out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
             )

@@ -131,18 +131,50 @@ def test_multimodal_stub(spark):
         ],
         schema=multimodal.MEDIA_SCHEMA,
     )
-    feats = multimodal.decode_images(media).collect()
-    assert len(feats) == 1
-    assert feats[0]["media_id"] == "m1"
-    assert feats[0]["n_bytes"] == 15
-    assert feats[0]["width"] >= 64 and feats[0]["height"] >= 64
+    has_pil = multimodal._try_real_decoder() is not None
+
+    if has_pil:
+        # garbage payload on the real decoder: null features, tagged error
+        feats = multimodal.decode_images(media).collect()
+        assert len(feats) == 1
+        assert feats[0]["decoder"] == "error"
+        assert feats[0]["width"] is None
+    else:
+        # strict (the default) must fail fast — never silent fakes
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_images(media)
+        feats = multimodal.decode_images(media, strict=False).collect()
+        assert len(feats) == 1
+        assert feats[0]["media_id"] == "m1"
+        assert feats[0]["n_bytes"] == 15
+        assert feats[0]["width"] >= 64 and feats[0]["height"] >= 64
+        assert feats[0]["decoder"] == "synthetic"  # fakes always tagged
 
     frames = multimodal.sample_frames(media, every_n_bytes=1024).collect()
     assert {f["media_id"] for f in frames} == {"m2"}
     assert len(frames) == 4
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_images(media, strict=True)
+
+def test_multimodal_real_decoder_contract(spark):
+    """Contract for the real-PIL branch: a valid image decodes to its true
+    dimensions, decoder='pil', and a 16-hex-digit average-hash."""
+    Image = multimodal._try_real_decoder()
+    if Image is None:
+        pytest.skip("PIL not installed in this environment")
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 7), (200, 10, 10)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [("img1", "image", bytearray(buf.getvalue()), "image/png", "u1")],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.decode_images(media).collect()
+    assert len(feats) == 1
+    row = feats[0]
+    assert (row["width"], row["height"]) == (12, 7)
+    assert row["decoder"] == "pil"
+    assert len(row["phash"]) == 16 and int(row["phash"], 16) >= 0
 
 
 def test_ivf_topk_recall(spark):
