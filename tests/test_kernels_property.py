@@ -91,3 +91,45 @@ def test_numwords_parse_produces_digits(words):
 def test_numwords_passthrough(text):
     # no number words → unchanged tokenization
     assert numwords.parse(text) == " ".join(text.split(" ")) or text == ""
+
+
+# ---------------------------------------------------------------------------
+# Pinned number-word cases OUTSIDE the golden corpus (round-1 advice).
+#
+# number_parser is not installed in this environment, so these expectations
+# are KERNEL-PINNED (regression protection + documented subset boundary),
+# not library-differential. Where upstream number_parser documents the
+# behavior (README cardinal examples; ordinals are a separate
+# parse_ordinal API and parse() leaves them alone), the pin matches it.
+# prep_title pre-normalization turns hyphens into spaces
+# (prep_title.py:155 `[^A-Za-z0-9,\[\]]+` -> ' ') and strips the
+# stopwords 'a'/'and' BEFORE parse, so hyphenated forms never reach the
+# parser and 'a hundred and five' arrives as 'hundred five'.
+# ---------------------------------------------------------------------------
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("twenty two", "22"),  # hyphenated input after prep normalization
+        ("one hundred and five", "105"),
+        ("hundred five", "105"),  # 'a hundred and five' after stopwords
+        ("nineteen eighty four", "19 84"),  # year-speak stays two numbers
+        ("two thousand and one", "2001"),
+        ("first results", "first results"),  # ordinals: parse() no-op
+        ("twenty first century", "20 first century"),
+        ("a hundred dogs", "a 100 dogs"),  # bare article untouched
+        ("one million two hundred thousand", "1200000"),
+        ("five hundred and sixty three", "563"),
+    ],
+)
+def test_numwords_pinned_forms(text, expected):
+    assert numwords.parse(text) == expected
+
+
+def test_prep_title_hyphenated_number_words():
+    """End-to-end: hyphens normalize to spaces before number parsing."""
+    from bib_dedupe_spark.functions.titles import norm_title
+
+    assert norm_title("Twenty-One Candles: A Study") == "21 candles study"
