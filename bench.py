@@ -144,6 +144,64 @@ def run_dedupe(spark) -> dict:
     }
 
 
+def run_kernels() -> dict:
+    """Worst-case kernel timings (driver-side, no Spark).
+
+    The adversarial shape for partial_ratio is a DISSIMILAR long-abstract
+    pair (near-dups exit early): measured both at the pipeline cutoff
+    (rules.MIN_ABSTRACT_SIM_THRESHOLD — what the sim stage actually pays)
+    and exact (cutoff=0, what kernel goldens exercise).
+    """
+    import random
+
+    from bib_dedupe_spark.kernels import similarity
+    from bib_dedupe_spark.rules import MIN_ABSTRACT_SIM_THRESHOLD
+
+    words = (
+        "background methods results conclusion patients randomized trial"
+        " outcome significant treatment intervention control cohort study"
+        " analysis clinical evidence baseline followup primary secondary"
+    ).split()
+
+    def text(n: int, seed: int) -> str:
+        r = random.Random(seed)
+        out: list = []
+        while sum(len(w) + 1 for w in out) < n:
+            out.append(r.choice(words))
+        return " ".join(out)[:n]
+
+    def best_ms(fn, n=5) -> float:
+        best = float("inf")
+        for _ in range(n):
+            similarity._normalize_abstract.cache_clear()
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(1000 * best, 2)
+
+    cutoff = MIN_ABSTRACT_SIM_THRESHOLD * 100
+    a, b = text(900, 1), text(1400, 2)
+    a2, b2 = text(1500, 3), text(2500, 4)
+    x, y = text(400, 21), text(430, 22)
+    return {
+        "abstract_dissimilar_900x1400_ms": best_ms(
+            lambda: similarity.sim_abstract(a, b, partial_cutoff=cutoff)
+        ),
+        "abstract_dissimilar_1500x2500_ms": best_ms(
+            lambda: similarity.sim_abstract(a2, b2, partial_cutoff=cutoff)
+        ),
+        "abstract_neardup_1500_ms": best_ms(
+            lambda: similarity.sim_abstract(a2, a2[:-40], partial_cutoff=cutoff)
+        ),
+        "abstract_corpus_scale_400x430_ms": best_ms(
+            lambda: similarity.sim_abstract(x, y, partial_cutoff=cutoff)
+        ),
+        "abstract_exact_900x1400_ms": best_ms(
+            lambda: similarity.sim_abstract(a, b)
+        ),
+    }
+
+
 def main() -> None:
     from bib_dedupe_spark.session import get_spark
 
@@ -156,6 +214,7 @@ def main() -> None:
 
     queries = run_headline(spark)
     dedupe = run_dedupe(spark)
+    kernels = run_kernels()
 
     total = round(sum(queries.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -168,6 +227,7 @@ def main() -> None:
                 "queries": queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "dedupe": dedupe,
+                "kernels": kernels,
             }
         )
     )

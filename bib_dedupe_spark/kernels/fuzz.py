@@ -135,25 +135,33 @@ def _best_window_similarity(needle: str, haystack: str) -> float:
 _NP_WINDOW_THRESHOLD = 4000
 
 
-def _window_scan(shorter: str, longer: str) -> float:
+def _window_scan(shorter: str, longer: str, cutoff: float = 0.0) -> float:
     if len(shorter) * len(longer) >= _NP_WINDOW_THRESHOLD:
         from bib_dedupe_spark.kernels import fuzz_np
 
-        return fuzz_np.best_window_similarity(shorter, longer)
+        return fuzz_np.best_window_similarity(shorter, longer, cutoff)
     return _best_window_similarity(shorter, longer)
 
 
-def partial_ratio(s1: str, s2: str) -> float:
-    """Best ratio of the shorter string over windows of the longer one."""
+def partial_ratio(s1: str, s2: str, score_cutoff: float = 0.0) -> float:
+    """Best ratio of the shorter string over windows of the longer one.
+
+    ``score_cutoff`` (0-100) enables the lossless banded pruning in the
+    long-string scan: the result is exact whenever it exceeds the cutoff;
+    below it, some lower bound ≤ cutoff may be returned. Callers folding
+    partial_ratio into max(other_signals, ...) pass the running max and
+    get bit-identical final values (see fuzz_np module docstring).
+    """
     if len(s1) == 0 and len(s2) == 0:
         return 100.0
     if len(s1) == 0 or len(s2) == 0:
         return 0.0
+    cutoff = score_cutoff / 100.0
     shorter, longer = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
-    best = _window_scan(shorter, longer)
+    best = _window_scan(shorter, longer, cutoff)
     if best != 1.0 and len(s1) == len(s2):
         # equal lengths: the window scan is not symmetric, try both roles
-        other = _window_scan(longer, shorter)
+        other = _window_scan(longer, shorter, max(cutoff, best))
         if other > best:
             best = other
     return best * 100.0

@@ -105,7 +105,8 @@ def sim_author(a1: str, full1: str, a2: str, full2: str) -> float:
     best = max(truncated, initials, full)
     if best >= 1.0:
         return 1.0
-    return max(best, fuzz.partial_ratio(a1, a2) / 100)
+    # lossless score_cutoff: exact whenever the partial beats best
+    return max(best, fuzz.partial_ratio(a1, a2, score_cutoff=best * 100) / 100)
 
 
 def sim_page(p1: str, p2: str) -> float:
@@ -190,12 +191,14 @@ def sim_title(raw1: str, raw2: str) -> float:
 
     # one title may carry an appended translation: fall back to partial
     if score < 0.7:
+        # score_cutoff is lossless here: the partial value is only used
+        # when it exceeds the running score (max semantics)
         if len(t1) > 1.7 * len(t2):
-            partial = fuzz.partial_ratio(t1, t2) / 100
+            partial = fuzz.partial_ratio(t1, t2, score_cutoff=score * 100) / 100
             if partial > score:
                 return partial
         if len(t2) > 1.7 * len(t1):
-            partial = fuzz.partial_ratio(t2, t1) / 100
+            partial = fuzz.partial_ratio(t2, t1, score_cutoff=score * 100) / 100
             if partial > score:
                 return partial
 
@@ -266,8 +269,16 @@ def _normalize_abstract(text: str) -> str:
     return _RE_WS.sub(" ", text).strip()
 
 
-def sim_abstract(a1: str, a2: str) -> float:
-    """Abstract similarity: max(ratio, partial, token_set) on normalized text."""
+def sim_abstract(a1: str, a2: str, partial_cutoff: float = 0.0) -> float:
+    """Abstract similarity: max(ratio, partial, token_set) on normalized text.
+
+    ``partial_cutoff`` (0-100) lets the caller declare the smallest
+    abstract-similarity threshold any downstream consumer applies (the
+    rule engine's is rules.MIN_ABSTRACT_SIM_THRESHOLD): the returned
+    value is exact whenever it exceeds the cutoff, and a lower bound
+    otherwise — rule outcomes are provably unchanged, while the window
+    scan skips the (expensive) dissimilar-abstract case entirely.
+    """
     n1 = _normalize_abstract(a1)
     n2 = _normalize_abstract(a2)
     if not n1 or not n2:
@@ -279,7 +290,14 @@ def sim_abstract(a1: str, a2: str) -> float:
     if score < 100.0:
         score = max(score, fuzz.token_set_ratio(n1, n2))
     if score < 100.0:
-        score = max(score, fuzz.partial_ratio(n1, n2))
+        # max(score, cutoff) is lossless: below score the max stands,
+        # below partial_cutoff no consumer distinguishes values
+        score = max(
+            score,
+            fuzz.partial_ratio(
+                n1, n2, score_cutoff=max(score, partial_cutoff)
+            ),
+        )
     return score / 100.0
 
 

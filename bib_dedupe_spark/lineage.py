@@ -43,22 +43,53 @@ class StageRunner:
     def completed(self, stage: str) -> bool:
         return self.manifest.get(stage, {}).get("status") == "complete"
 
-    def run(self, stage: str, build) -> DataFrame:
+    def _bucket_table(self, stage: str) -> str:
+        # warehouse table names must be unique per checkpoint dir
+        import hashlib
+
+        digest = hashlib.md5(str(self.dir).encode()).hexdigest()[:10]
+        return f"ckpt_{digest}_{stage}"
+
+    def run(
+        self,
+        stage: str,
+        build,
+        bucket_by: str | None = None,
+        buckets: int = 64,
+    ) -> DataFrame:
         """Build-or-restore one stage.
 
         ``build`` is a zero-arg callable returning the stage DataFrame; it
         is only invoked when the stage has not completed in a prior run.
         The returned DataFrame always reads from the checkpoint parquet,
         truncating lineage between stages.
+
+        ``bucket_by`` persists the stage as a hash-bucketed (sorted)
+        table instead of plain parquet: downstream equi-joins on that
+        column read the bucketing from the table metadata and skip the
+        Exchange on this (usually biggest) side — the layout a 100 TB
+        corpus that is re-joined every increment should live in.
         """
         path = self._stage_path(stage)
         if self.completed(stage):
+            table = self.manifest[stage].get("bucket_table")
+            if table:
+                return self.spark.table(table)
             return self.spark.read.parquet(path)
 
         start = time.time()
         df = build()
-        df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
+        if bucket_by is not None:
+            from bib_dedupe_spark.sources.io import write_records_bucketed
+
+            table = self._bucket_table(stage)
+            write_records_bucketed(
+                df, table, buckets=buckets, bucket_col=bucket_by
+            )
+            out = self.spark.table(table)
+        else:
+            df.write.mode("overwrite").parquet(path)
+            out = self.spark.read.parquet(path)
 
         lineage = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -76,6 +107,7 @@ class StageRunner:
             "rows": rows,
             "wall_s": round(wall, 3),
             "path": path,
+            "bucket_table": self._bucket_table(stage) if bucket_by else None,
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
         self._save_manifest()
@@ -91,9 +123,17 @@ def run_pipeline(
     records_df: DataFrame,
     checkpoint_dir: str,
     max_block_size: int | None = 1000,
+    bucket_records: bool = False,
+    buckets: int = 64,
 ) -> DataFrame:
     """Full resumable pipeline: each stage checkpointed; a restart with the
-    same ``checkpoint_dir`` resumes after the last complete stage."""
+    same ``checkpoint_dir`` resumes after the last complete stage.
+
+    ``bucket_records=True`` persists the prep stage hash-bucketed on ID,
+    so the block stage's two pair-enrichment joins read co-located
+    buckets instead of exchanging the full prepared corpus — the layout
+    to use when the corpus is large and re-joined (incremental crawls).
+    """
     from bib_dedupe_spark import block, merge, prep
     from bib_dedupe_spark.operators.cluster import cluster
     from bib_dedupe_spark.operators.match import match
@@ -101,7 +141,12 @@ def run_pipeline(
     runner = StageRunner(spark, checkpoint_dir)
 
     records = runner.run("records", lambda: records_df)
-    prepared = runner.run("prep", lambda: prep(records))
+    prepared = runner.run(
+        "prep",
+        lambda: prep(records),
+        bucket_by="ID" if bucket_records else None,
+        buckets=buckets,
+    )
     pairs = runner.run(
         "block", lambda: block(prepared, max_block_size=max_block_size)
     )

@@ -17,6 +17,10 @@ from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 from bib_dedupe_spark import constants as C
 from bib_dedupe_spark.kernels import similarity as K
+from bib_dedupe_spark.rules import MIN_ABSTRACT_SIM_THRESHOLD
+
+# 0-100 scale for the fuzz kernels
+_ABSTRACT_CUTOFF = MIN_ABSTRACT_SIM_THRESHOLD * 100.0
 
 _INPUT_COLS = (
     "author_1",
@@ -78,7 +82,9 @@ def _compute_sims(batch: pd.DataFrame) -> pd.DataFrame:
             K.sim_page(a, b) for a, b in zip(s["pages_1"], s["pages_2"])
         ],
         C.ABSTRACT: [
-            K.sim_abstract(a, b)
+            # lossless cutoff: exact above the smallest rule threshold,
+            # lower bound below it — no rule outcome can change
+            K.sim_abstract(a, b, partial_cutoff=_ABSTRACT_CUTOFF)
             for a, b in zip(s["abstract_1"], s["abstract_2"])
         ],
         C.DOI: [K.sim_doi(a, b) for a, b in zip(s["doi_1"], s["doi_2"])],

@@ -27,6 +27,14 @@ DOI = C.DOI
 PRA = C.PAGE_RANGES_ADJACENT
 ENTRYTYPE = C.ENTRYTYPE
 
+# The smallest similarity threshold ANY rule (duplicate, maybe, veto)
+# applies to the abstract similarity column: every comparison is either
+# `abstract > t` with t >= this value or `abstract = 1.0`
+# (non_contradicting(ABSTRACT) compares the RAW strings, not the sim).
+# The sim stage passes this to sim_abstract as the lossless
+# partial-ratio cutoff; test_rules pins it against the rule strings.
+MIN_ABSTRACT_SIM_THRESHOLD = 0.8
+
 
 def mismatch(*keys: str) -> str:
     """Each field present on both sides and different."""

@@ -64,3 +64,44 @@ def test_full_pipeline_resume(spark, tmp_path):
     assert sorted(r["ID"] for r in merged2.collect()) == sorted(
         r["ID"] for r in merged1.collect()
     )
+
+
+def test_pipeline_bucketed_prep_stage(spark, tmp_path):
+    """bucket_records=True: prep checkpoint is a hash-bucketed table, the
+    resumed read comes from it, results match the unbucketed pipeline,
+    and an ID equi-join against it plans no Exchange on the bucketed side."""
+    import pandas as pd
+
+    from bib_dedupe_spark.lineage import StageRunner, run_pipeline
+    from bib_dedupe_spark.sources.synthetic import generate
+
+    records, _ = generate(n_base=60, seed=13)
+    df = spark.createDataFrame(pd.DataFrame(records))
+
+    plain = run_pipeline(spark, df, str(tmp_path / "ck_plain"))
+    rows_plain = {r["ID"] for r in plain.select("ID").collect()}
+
+    ckpt = str(tmp_path / "ck_bucketed")
+    bucketed = run_pipeline(
+        spark, df, ckpt, bucket_records=True, buckets=8
+    )
+    rows_bucketed = {r["ID"] for r in bucketed.select("ID").collect()}
+    assert rows_bucketed == rows_plain
+
+    runner = StageRunner(spark, ckpt)
+    assert runner.manifest["prep"]["bucket_table"]
+    prep_df = runner.run("prep", lambda: (_ for _ in ()).throw(AssertionError))
+    # join on the bucket column: the bucketed side must not re-exchange
+    import contextlib
+    import io as _io
+
+    probe = spark.createDataFrame(
+        [(r,) for r in sorted(rows_plain)][:10], ["ID"]
+    ).hint("shuffle_hash")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        prep_df.join(probe, "ID").explain()
+    plan = buf.getvalue()
+    # the bucketed (big) side must carry its bucketing into the join: at
+    # most the probe side exchanges
+    assert "Bucketed: true" in plan or plan.count("Exchange") <= 1, plan

@@ -54,3 +54,57 @@ def test_builders():
     assert "(title = 1.0)" in rules.sim_match("title")
     assert "(title > 0.9)" in rules.sim_match("title", threshold=0.9)
     assert "doi_1 = ''" in rules.non_contradicting("doi")
+
+
+def test_min_abstract_sim_threshold_pinned_to_rules():
+    """MIN_ABSTRACT_SIM_THRESHOLD must be the smallest similarity
+    threshold any rule string applies to the abstract column; if a rule
+    edit lowers a threshold, this catches the stale cutoff."""
+    import re
+
+    from bib_dedupe_spark import rules
+
+    all_rules = " ".join(
+        list(rules.DUPLICATE_CONDITIONS)
+        + list(rules.NON_DUPLICATE_CONDITIONS)
+        + [rules.MAYBE_CONDITION]
+    )
+    thresholds = [
+        float(m)
+        for m in re.findall(r"abstract\s*(?:>|>=)\s*([0-9.]+)", all_rules)
+    ]
+    equalities = re.findall(r"abstract\s*=\s*1\.0", all_rules)
+    assert thresholds, "no abstract similarity thresholds found in rules"
+    assert min(thresholds) == rules.MIN_ABSTRACT_SIM_THRESHOLD
+    # the only other similarity comparison form is equality at 1.0
+    others = re.findall(r"abstract\s*(?:<|<=|=)\s*(?!1\.0)[0-9.]", all_rules)
+    assert not others, f"unexpected abstract comparison forms: {others}"
+    assert equalities or thresholds
+
+
+def test_sim_abstract_cutoff_rule_losslessness():
+    """Randomized: for every pair, the cutoff value and the exact value
+    agree on EVERY rule comparison (v > t for t >= 0.8, v = 1.0)."""
+    import random
+
+    from bib_dedupe_spark.kernels.similarity import sim_abstract
+
+    rnd = random.Random(99)
+    words = "alpha beta gamma delta eps zeta eta theta".split()
+    for _ in range(120):
+        n = rnd.randint(5, 80)
+        a = " ".join(rnd.choice(words) for _ in range(n))
+        if rnd.random() < 0.4:
+            b = a[: max(4, int(len(a) * rnd.uniform(0.3, 1.0)))] + " ".join(
+                rnd.choice(words) for _ in range(rnd.randint(0, n))
+            )
+        else:
+            b = " ".join(rnd.choice(words) for _ in range(rnd.randint(5, 80)))
+        exact = sim_abstract(a, b)
+        fast = sim_abstract(a, b, partial_cutoff=80.0)
+        assert fast <= exact + 1e-12
+        if exact > 0.8:
+            assert abs(fast - exact) < 1e-12
+        for t in (0.8, 0.9, 0.95):
+            assert (fast > t) == (exact > t)
+        assert (fast == 1.0) == (exact == 1.0)
