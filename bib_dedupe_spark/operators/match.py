@@ -45,6 +45,24 @@ def match_scored(
     veto_sql = "NOT (" + " OR ".join(
         non_duplicate_conditions or rules.NON_DUPLICATE_CONDITIONS
     ) + ")"
+    maybe_sql = rules.MAYBE_CONDITION
+
+    if persist and duplicate_conditions is None and non_duplicate_conditions is None:
+        # default rule set: factor repeated fragments into flag columns so
+        # Catalyst analyzes a ~10x smaller filter tree per call (the flags
+        # are bit-identical rewrites; custom rule lists keep the direct
+        # path since their text is not built from the module fragments).
+        # Requires persist: the cached relation materializes the flags as
+        # physical attributes — without the cache boundary CollapseProject
+        # would inline every flag back into the filters and the optimizer
+        # would rebuild (and duplicate) the giant tree.
+        pieces, gates, rewrite = rules.factored_rule_plan()
+        scored = scored.withColumns(
+            {name: F.expr(sql) for name, sql in pieces.items()}
+        ).withColumns({name: F.expr(sql) for name, sql in gates.items()})
+        dup_sql = rewrite(dup_sql)
+        veto_sql = rewrite(veto_sql)
+        maybe_sql = rewrite(maybe_sql)
 
     if persist:
         # both the true-pair and maybe-pair filters consume the scored
@@ -60,7 +78,7 @@ def match_scored(
     )
 
     maybe_pairs = (
-        scored.filter(F.expr(rules.MAYBE_CONDITION))
+        scored.filter(F.expr(maybe_sql))
         .dropDuplicates()
         .join(
             true_pairs.select("ID_1", "ID_2"),

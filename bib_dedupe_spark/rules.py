@@ -158,6 +158,81 @@ MAYBE_CONDITION = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Factored (tree-shrunk) rule evaluation.
+#
+# The fused 26-way disjunction repeats the same fragments dozens of times
+# (au095_ti09_ct075 appears 8x; each non_contradicting key expands to 3
+# comparisons) — Catalyst re-analyzes the whole ~2k-node tree on every
+# match() call (~1.5s, paid per streaming micro-batch). Factoring each
+# repeated fragment into a boolean flag column shrinks the filter tree an
+# order of magnitude with BIT-IDENTICAL semantics: the rewrite is verbatim
+# string substitution of exactly the fragment texts the conditions were
+# built from (test_rules pins substitution completeness).
+# ---------------------------------------------------------------------------
+
+_PIECE_FIELDS = (
+    AUTHOR,
+    TITLE,
+    CONTAINER_TITLE,
+    YEAR,
+    VOLUME,
+    NUMBER,
+    PAGES,
+    DOI,
+    ABSTRACT,
+)
+
+_PIECE_ATOMS = {}
+for _f in _PIECE_FIELDS:
+    # exactly the per-key texts emitted by non_contradicting / sim_match /
+    # mismatch above — substitution relies on verbatim equality
+    _PIECE_ATOMS[f"_r_nc_{_f}"] = (
+        f" ( {_f}_1 = {_f}_2 OR {_f}_1 = '' OR {_f}_2 = '' ) "
+    )
+    _PIECE_ATOMS[f"_r_eq_{_f}"] = f" ({_f} = 1.0) "
+    _PIECE_ATOMS[f"_r_ne_{_f}"] = f" ({_f}_1 != '' AND {_f}_2 != '') "
+    _PIECE_ATOMS[f"_r_mm_{_f}"] = (
+        f" ({_f}_1 != {_f}_2 AND {_f}_1 != '' AND {_f}_2 != '') "
+    )
+
+_GATE_ATOMS = {
+    "_r_g_au07_ti10_ct10": au07_ti10_ct10,
+    "_r_g_au10_ti07_ct10": au10_ti07_ct10,
+    "_r_g_au10_ti10_ct07": au10_ti10_ct07,
+    "_r_g_au095_ti09_ct075": au095_ti09_ct075,
+    "_r_g_au08_ti09_ct09": au08_ti09_ct09,
+    "_r_g_au09_ti09_ctXX": au09_ti09_ctXX,
+    "_r_g_auXX_ti095_ct095": auXX_ti095_ct095,
+    "_r_g_au10_tiXX_ct10": au10_tiXX_ct10,
+    "_r_g_au10_ti10_ctNC": au10_ti10_ctNC,
+}
+
+
+def factored_rule_plan():
+    """(piece_flags, gate_flags, rewrite) for tree-shrunk rule filters.
+
+    ``piece_flags`` are flag-column SQL over the sim columns; ``gate_flags``
+    reference piece flags (add them in a second withColumns). ``rewrite``
+    maps any predicate built from the module's fragments onto the flags.
+    """
+    pieces = dict(_PIECE_ATOMS)
+    gates = {}
+    for name, sql in _GATE_ATOMS.items():
+        for pname, psql in pieces.items():
+            sql = sql.replace(psql, f" ({pname}) ")
+        gates[name] = sql
+
+    def rewrite(sql: str) -> str:
+        for gname, gsql in _GATE_ATOMS.items():
+            sql = sql.replace(gsql, f" ({gname}) ")
+        for pname, psql in pieces.items():
+            sql = sql.replace(psql, f" ({pname}) ")
+        return sql
+
+    return pieces, gates, rewrite
+
+
 def duplicate_predicate() -> str:
     return " OR ".join(DUPLICATE_CONDITIONS)
 

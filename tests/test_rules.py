@@ -108,3 +108,50 @@ def test_sim_abstract_cutoff_rule_losslessness():
         for t in (0.8, 0.9, 0.95):
             assert (fast > t) == (exact > t)
         assert (fast == 1.0) == (exact == 1.0)
+
+
+def test_factored_rule_plan_substitution_complete():
+    """Every gate and piece fragment must disappear from the rewritten
+    default predicates (a fragment surviving substitution means the flag
+    column went unused and the factoring silently degraded)."""
+    from bib_dedupe_spark import rules
+
+    pieces, gates, rewrite = rules.factored_rule_plan()
+    dup = rewrite(" OR ".join(rules.DUPLICATE_CONDITIONS))
+    veto = rewrite("NOT (" + " OR ".join(rules.NON_DUPLICATE_CONDITIONS) + ")")
+    for frag in list(rules._GATE_ATOMS.values()) + list(
+        rules._PIECE_ATOMS.values()
+    ):
+        assert frag not in dup and frag not in veto
+    # the gate flags themselves reference piece flags where possible
+    assert any("_r_eq_" in sql or "_r_ne_" in sql for sql in gates.values())
+
+
+def test_factored_match_equals_direct(spark):
+    """Factored filter path == direct giant-predicate path, edge for edge."""
+    import pandas as pd
+
+    from bib_dedupe_spark import block, prep, rules
+    from bib_dedupe_spark.operators.match import match, match_scored
+    from bib_dedupe_spark.operators.sim import score
+    from bib_dedupe_spark.sources.synthetic import generate
+
+    records, _ = generate(n_base=120, seed=21)
+    pairs = block(
+        prep(spark.createDataFrame(pd.DataFrame(records))), max_block_size=None
+    )
+    scored = score(pairs)
+    factored = match_scored(scored)  # persist=True -> factored path
+    direct = match_scored(
+        scored,
+        duplicate_conditions=list(rules.DUPLICATE_CONDITIONS),
+        non_duplicate_conditions=list(rules.NON_DUPLICATE_CONDITIONS),
+        persist=False,
+    )
+    def edge_set(df):
+        return {
+            (r["ID_1"], r["ID_2"], r["duplicate_label"])
+            for r in df.collect()
+        }
+    assert edge_set(factored) == edge_set(direct)
+    scored.unpersist()
