@@ -217,7 +217,14 @@ def cluster(
         .filter(F.col("count") > 1)
         .select(C.COMPONENT)
         .distinct()
+        .persist()
     )
+
+    # the common case is NO conflict at all (direct same-set pairs were
+    # pruned at blocking): skip the anti-join + DFS plan entirely then
+    if conflicted.limit(1).count() == 0:
+        conflicted.unpersist()
+        return components
 
     # fast path: untouched components pass through with no extra shuffle
     clean = components.join(
