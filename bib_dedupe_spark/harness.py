@@ -131,14 +131,32 @@ def q_same_set_prune(spark, sf_dir):
 
 
 def q_token_overlap_prune(spark, sf_dir):
-    """Token-overlap pruning with set-intersection semantics (F4)."""
-    docs = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    """Token-overlap pruning with set-intersection semantics (F4).
+
+    Tokens are pre-hashed (xxhash64) and deduplicated BEFORE the pair
+    joins: the shuffle ships fixed 8-byte hashes instead of string
+    arrays, and the distinct-shared count is unchanged (array_intersect
+    is set-semantics either way; a 64-bit collision within one pair's
+    vocabulary is ~2^-50 at corpus scale).
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sides = docs.select(
+        "doc_id",
+        F.size("w").alias("n"),
+        F.array_distinct(F.transform("w", lambda x: F.xxhash64(x))).alias("h"),
+    )
     pairs = _bucket_pairs(spark, sf_dir).select("id1", "id2")
-    w1 = docs.select(F.col("doc_id").alias("id1"), F.col("w").alias("w1"))
-    w2 = docs.select(F.col("doc_id").alias("id2"), F.col("w").alias("w2"))
-    joined = pairs.join(w1, "id1").join(w2, "id2")
-    shared = F.size(F.array_intersect("w1", "w2"))
-    denom = F.least(F.size("w1") + 1, F.size("w2") + 1)
+    s1 = sides.select(
+        F.col("doc_id").alias("id1"), F.col("n").alias("n1"), F.col("h").alias("h1")
+    )
+    s2 = sides.select(
+        F.col("doc_id").alias("id2"), F.col("n").alias("n2"), F.col("h").alias("h2")
+    )
+    joined = pairs.join(s1, "id1").join(s2, "id2")
+    shared = F.size(F.array_intersect("h1", "h2"))
+    denom = F.least(F.col("n1") + 1, F.col("n2") + 1)
     return (
         joined.select(
             "id1", "id2", shared.alias("shared"), denom.alias("denom")
