@@ -413,6 +413,43 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (webtext): pseudo-URLs derived from the
+    documents table (mixed case, default port, tracking params, unsorted
+    query, fragment, trailing slash) -> canonical url + host. The oracle
+    derives the expected canonical string independently per case."""
+    from bib_dedupe_spark.textops.urls import normalize_url, url_host
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    variant = F.col("doc_id") % 3
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(variant == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(variant == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(variant == 0, F.lit("?b=2&utm_campaign=x&a=1"))
+        .when(variant == 1, F.lit("?utm_source=feed"))
+        .otherwise(F.lit("")),
+        F.lit("#frag"),
+    )
+    return docs.select(
+        "doc_id",
+        normalize_url(url).alias("canonical_url"),
+        url_host(url).alias("host"),
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition gates: duplicate-sentence and duplicate
+    word-3-gram fractions (native expressions)."""
+    from bib_dedupe_spark.textops.quality import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_quality_flags(spark, sf_dir):
     """Heuristic quality scoring: stopword ratio + length gates."""
     docs = _docs(spark, sf_dir).select(
@@ -700,6 +737,8 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "quality_flags": q_quality_flags,
+    "url_canonical": q_url_canonical,
+    "repetition_stats": q_repetition_stats,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
     "ivf_topk": q_ivf_topk,
@@ -902,6 +941,40 @@ ORACLES = {
         " CAST(list_sum(list_transform(string_split(text,' '), w -> len(w)))"
         "  AS BIGINT) AS token_chars"
         " FROM documents"
+    ),
+    "url_canonical": (
+        "SELECT doc_id,"
+        " CASE CAST(doc_id % 3 AS INT)"
+        "  WHEN 0 THEN 'https://www.' || source || '.example.com/Docs/'"
+        "   || doc_id || '?a=1&b=2'"
+        "  WHEN 1 THEN 'https://www.' || source || '.example.com/Docs/'"
+        "   || doc_id"
+        "  ELSE 'https://www.' || source || '.example.com/Docs/' || doc_id"
+        " END AS canonical_url,"
+        " 'www.' || source || '.example.com' AS host"
+        " FROM documents"
+    ),
+    "repetition_stats": (
+        "WITH base AS (SELECT doc_id AS doc,"
+        " list_filter(list_transform(string_split(text, '.'), s -> trim(s)),"
+        "  s -> s <> '') AS sents,"
+        " list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws"
+        " FROM documents), "
+        "ng AS (SELECT doc, sents, ws,"
+        " CASE WHEN len(ws) >= 3 THEN"
+        "  list_transform(generate_series(1, len(ws) - 2),"
+        "   i -> array_to_string(ws[i:i+2], ' '))"
+        " ELSE [] END AS grams FROM base) "
+        "SELECT doc,"
+        " len(sents) AS n_sentences,"
+        " CASE WHEN len(sents) > 0 THEN round((len(sents) -"
+        "  len(list_distinct(sents))) / CAST(len(sents) AS DOUBLE), 6)"
+        "  ELSE 0.0 END AS dup_sentence_frac,"
+        " len(grams) AS n_ngrams,"
+        " CASE WHEN len(grams) > 0 THEN round((len(grams) -"
+        "  len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE), 6)"
+        "  ELSE 0.0 END AS dup_ngram_frac"
+        " FROM ng"
     ),
     "quality_flags": (
         "WITH t AS (SELECT doc_id, n_chars,"

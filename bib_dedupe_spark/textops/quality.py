@@ -128,3 +128,49 @@ def fingerprints(
         .groupBy("doc", "win")
         .agg(F.min("h").alias("fingerprint"))
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-sentence fraction and
+    duplicate word-n-gram fraction.
+
+    Boilerplate-heavy or spun web text repeats itself; these two ratios
+    are the standard cheap gates. All native expressions — sentence
+    split, n-gram construction via transform over index sequence, and
+    distinct-counting stay inside whole-stage codegen.
+    """
+    sentences = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"\."), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    n_sent = F.size(sentences)
+    dup_sent_frac = F.when(n_sent > 0, (n_sent - F.size(F.array_distinct(sentences))) / n_sent).otherwise(F.lit(0.0))
+
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_grams = F.when(
+        n_words >= ngram,
+        F.transform(
+            F.sequence(F.lit(0), n_words - ngram),
+            lambda i: F.array_join(F.slice(words, i + 1, ngram), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_ng = F.size(n_grams)
+    dup_ngram_frac = F.when(
+        n_ng > 0, (n_ng - F.size(F.array_distinct(n_grams))) / n_ng
+    ).otherwise(F.lit(0.0))
+
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n_sent.alias("n_sentences"),
+        F.round(dup_sent_frac, 6).alias("dup_sentence_frac"),
+        n_ng.alias("n_ngrams"),
+        F.round(dup_ngram_frac, 6).alias("dup_ngram_frac"),
+    )

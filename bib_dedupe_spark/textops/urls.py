@@ -1,0 +1,77 @@
+"""URL canonicalization + url/host-level dedup for web-page corpora.
+
+Common-Crawl-style pipelines dedup first on the cheapest key there is:
+the URL. Everything here is native column expressions (whole-stage
+codegen; no Python), so the canonical-url groupBy is an ordinary
+partial-aggregable shuffle at 10^12 rows.
+
+Canonicalization (conservative, lossless for dedup purposes):
+  - scheme + host lowercased; explicit default ports (:80/:443) dropped
+  - fragment (#...) dropped
+  - tracking params removed (utm_*, fbclid, gclid, msclkid, ref)
+  - remaining query params SORTED (order-insensitive compare)
+  - trailing '/' stripped from non-root paths
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host (authority without port/userinfo)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/]*@)?([^/:?#]+)", 1)
+    )
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical form of ``url`` (see module docstring)."""
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = url_host(c)
+    # path: after authority, before ?/# — strip trailing slash (keep root)
+    path = F.regexp_extract(c, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", r"$1")
+    )
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING),
+        )
+    )
+    qnorm = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, F.lit("://"), host, path, qnorm)
+
+
+def dedup_by_url(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """One row per canonical url: the EARLIEST capture wins.
+
+    min_by aggregation on the canonical key — partial-aggregable, no
+    window, no sort; the 10^12-row shape. Matches the first-capture-wins
+    convention of the streaming incremental linkage.
+    """
+    keyed = pages.withColumn("_curl", normalize_url(url_col))
+    cols = [c for c in pages.columns]
+    agg = keyed.groupBy("_curl").agg(
+        *[F.min_by(c, F.col(ts_col)).alias(c) for c in cols]
+    )
+    return agg.select(F.col("_curl").alias("canonical_url"), *cols)
+
+
+def host_doc_counts(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Docs per host — the standard crawl-skew observability table."""
+    return (
+        pages.select(url_host(url_col).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"))
+    )

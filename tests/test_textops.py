@@ -201,3 +201,60 @@ def test_ivf_topk_recall(spark):
         ).collect()
     }
     assert full == exact
+
+
+def test_url_normalize_and_dedup(spark):
+    from datetime import datetime
+
+    from bib_dedupe_spark.textops import urls
+
+    rows = [
+        # same page: mixed case, default port, tracking junk, param order
+        ("HTTP://Example.COM:80/a/b/?b=2&a=1&utm_source=x#top", datetime(2026, 1, 2)),
+        ("http://example.com/a/b?a=1&b=2", datetime(2026, 1, 1)),
+        # root url keeps its slash; empty path becomes '/'
+        ("https://Root.org", datetime(2026, 1, 1)),
+        ("https://root.org/#frag", datetime(2026, 1, 3)),
+        # distinct page (param value differs)
+        ("http://example.com/a/b?a=2", datetime(2026, 1, 1)),
+        # userinfo is not part of the host
+        ("https://user:pw@Host.net/x", datetime(2026, 1, 1)),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "warc_ts"])
+    norm = {r["url"]: r["n"] for r in pages.select(
+        "url", urls.normalize_url("url").alias("n")).collect()}
+    assert norm["HTTP://Example.COM:80/a/b/?b=2&a=1&utm_source=x#top"] == \
+        "http://example.com/a/b?a=1&b=2"
+    assert norm["https://Root.org"] == "https://root.org/"
+    assert norm["https://root.org/#frag"] == "https://root.org/"
+    assert norm["https://user:pw@Host.net/x"] == "https://host.net/x"
+
+    deduped = urls.dedup_by_url(pages).collect()
+    by_curl = {r["canonical_url"]: r for r in deduped}
+    assert len(by_curl) == 4  # example/a/b, root, a/b?a=2, host.net/x
+    # earliest capture wins
+    assert by_curl["http://example.com/a/b?a=1&b=2"]["warc_ts"] == datetime(2026, 1, 1)
+    assert by_curl["https://root.org/"]["warc_ts"] == datetime(2026, 1, 1)
+
+    hosts = {r["host"]: r["n_docs"] for r in urls.host_doc_counts(pages).collect()}
+    assert hosts["example.com"] == 3 and hosts["root.org"] == 2
+
+
+def test_repetition_stats(spark):
+    from bib_dedupe_spark.textops.quality import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c. a b c. d e f."),        # 3 sentences, 1 dup
+            (2, "x y z w"),                      # no repetition, 2 ngrams
+            (3, "r r r r r"),                    # all 3-grams identical
+            (4, ""),                             # empty
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[1]["n_sentences"] == 3
+    assert abs(got[1]["dup_sentence_frac"] - 1 / 3) < 1e-6
+    assert got[2]["dup_ngram_frac"] == 0.0 and got[2]["n_ngrams"] == 2
+    assert got[3]["n_ngrams"] == 3 and abs(got[3]["dup_ngram_frac"] - 2 / 3) < 1e-6
+    assert got[4]["n_sentences"] == 0 and got[4]["dup_sentence_frac"] == 0.0
