@@ -30,6 +30,20 @@ def _build_parser() -> argparse.ArgumentParser:
                 required=True,
                 help="per-stage checkpoint root (resume on restart)",
             )
+
+    dbg = sub.add_parser(
+        "debug", help="component browser / pair explainer (reference `bib-dedupe debug`)"
+    )
+    dbg.add_argument("--records", required=True, help="records table path")
+    dbg.add_argument("--components", help="DataFrame[ID, component] parquet")
+    dbg.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+    dbg.add_argument("--component", help="explain this component id")
+    dbg.add_argument("--pair", nargs=2, metavar=("ID_1", "ID_2"), help="explain one pair")
+    dbg.add_argument("--min-size", type=int, default=2)
+    dbg.add_argument("--limit", type=int, default=25)
+    dbg.add_argument(
+        "--interactive", action="store_true", help="prompt for a component id"
+    )
     return parser
 
 
@@ -41,6 +55,12 @@ def main(argv: list | None = None) -> None:
     from bib_dedupe_spark.sources.io import read_records, write_records
 
     spark = get_spark(app_name=f"bib-dedupe-{args.command}")
+
+    if args.command == "debug":
+        from bib_dedupe_spark.debug import run_debug_cli
+
+        run_debug_cli(args, spark)
+        return
 
     if args.command == "extract":
         from bib_dedupe_spark.sources.webpages import records_from_webpages
