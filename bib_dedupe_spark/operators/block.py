@@ -236,31 +236,14 @@ def _title_overlap_keep():
     return ~(require & low_overlap)
 
 
-def block(
-    records_df: DataFrame,
-    max_block_size: int | None = 1000,
-    cache: bool = True,
-) -> DataFrame:
-    """Full blocking stage → enriched, pruned pair table.
+def _prune_and_enrich(pairs: DataFrame, records_df: DataFrame) -> DataFrame:
+    """Shared tail of the blocking stage: prune cheaply, then enrich.
 
-    ``cache`` persists the (filtered) prepared records: they feed the key
-    explode plus both enrichment joins — without it, an unpersisted prep
-    stage would re-run its normalizer UDF pass for every consumer.
+    Prune BEFORE the wide enrichment: both filters need only
+    (title, search_set), and pruning typically drops the vast majority
+    of candidates — enriching 35 columns first would shuffle orders of
+    magnitude more bytes for rows that are about to be discarded.
     """
-    records_df = records_df.filter(F.col(C.TITLE).isNotNull())
-    if cache:
-        from pyspark.storagelevel import StorageLevel
-
-        records_df = records_df.persist(StorageLevel.MEMORY_AND_DISK)
-
-    pairs = candidate_pairs(
-        records_df, max_block_size=max_block_size, cache=cache
-    )
-
-    # prune BEFORE the wide enrichment: both filters need only
-    # (title, search_set), and pruning typically drops the vast majority
-    # of candidates — enriching 35 columns first would shuffle orders of
-    # magnitude more bytes for rows that are about to be discarded
     slim_1 = records_df.select(
         F.col(C.ID).alias("ID_1"),
         F.col(C.TITLE).alias("title_1"),
@@ -301,3 +284,108 @@ def block(
     )
 
     return enriched.select(*C.pair_columns())
+
+
+def block(
+    records_df: DataFrame,
+    max_block_size: int | None = 1000,
+    cache: bool = True,
+) -> DataFrame:
+    """Full blocking stage → enriched, pruned pair table.
+
+    ``cache`` persists the (filtered) prepared records: they feed the key
+    explode plus both enrichment joins — without it, an unpersisted prep
+    stage would re-run its normalizer UDF pass for every consumer.
+    """
+    records_df = records_df.filter(F.col(C.TITLE).isNotNull())
+    if cache:
+        from pyspark.storagelevel import StorageLevel
+
+        records_df = records_df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    pairs = candidate_pairs(
+        records_df, max_block_size=max_block_size, cache=cache
+    )
+    return _prune_and_enrich(pairs, records_df)
+
+
+def corpus_key_table(prepared_df: DataFrame) -> DataFrame:
+    """Exploded blocking-key index DataFrame[ID, rule_idx, rto, key].
+
+    The persistable index for incremental (delta) blocking: computing it
+    once per record when the record ENTERS the corpus replaces
+    re-exploding the whole corpus every micro-batch.
+    """
+    return (
+        prepared_df.filter(F.col(C.TITLE).isNotNull())
+        .select(C.ID, F.explode(_key_entries_column()).alias("entry"))
+        .select(
+            C.ID,
+            F.col("entry.rule_idx").alias("rule_idx"),
+            F.col("entry.rto").alias("rto"),
+            F.col("entry.key").alias("key"),
+        )
+    )
+
+
+def block_delta(
+    batch_prepared: DataFrame,
+    corpus_keys: DataFrame,
+    corpus_records: DataFrame,
+) -> DataFrame:
+    """Incremental blocking: batch×batch plus batch×corpus pairs ONLY.
+
+    Produces exactly ``block(corpus ∪ batch)`` restricted to pairs that
+    touch the batch, without touching corpus×corpus again and — the
+    scale point — WITHOUT re-exploding the corpus: candidate generation
+    is an equi-join of the (small, broadcast) batch key table against the
+    persisted ``corpus_keys`` index. At 10^12 corpus rows each micro-batch
+    costs O(|batch| + matching key groups), not O(|corpus|).
+
+    Skew note: no salting is needed here — the quadratic k² blowup of
+    full blocking cannot occur (one side is the batch); a pathological
+    corpus key fans out at most |batch-side matches| × k, which AQE
+    splits. ``corpus_records`` should be the ID-bucketed table so the
+    enrichment joins read co-located buckets.
+    """
+    batch_keys = corpus_key_table(batch_prepared)
+
+    left = batch_keys.select(
+        F.col(C.ID).alias("ID_1"), "rule_idx", "rto", "key"
+    )
+    right = batch_keys.select(F.col(C.ID).alias("ID_2"), "rule_idx", "key")
+    within = left.join(right, ["rule_idx", "key"]).filter(
+        F.col("ID_1") < F.col("ID_2")
+    )
+
+    crossing = (
+        F.broadcast(batch_keys)
+        .join(
+            corpus_keys.select(
+                F.col(C.ID).alias("_cid"), "rule_idx", "key"
+            ),
+            ["rule_idx", "key"],
+        )
+        .filter(F.col(C.ID) != F.col("_cid"))
+        .select(
+            F.least(C.ID, "_cid").alias("ID_1"),
+            F.greatest(C.ID, "_cid").alias("ID_2"),
+            "rule_idx",
+            "rto",
+        )
+    )
+
+    raw_pairs = within.select("ID_1", "ID_2", "rule_idx", "rto").unionByName(
+        crossing
+    )
+    pairs = raw_pairs.groupBy("ID_1", "ID_2").agg(
+        F.min("rule_idx").alias("rule_idx"),
+        F.min(F.col("rto").cast("int")).cast("boolean").alias(
+            "require_title_overlap"
+        ),
+    )
+
+    all_records = corpus_records.unionByName(
+        batch_prepared.select(*corpus_records.columns)
+    ).filter(F.col(C.TITLE).isNotNull())
+    return _prune_and_enrich(pairs, all_records)

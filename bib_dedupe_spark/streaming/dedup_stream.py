@@ -130,11 +130,15 @@ def run_incremental_linkage(
     previously accumulated prepared corpus plus within the batch (never
     corpus × corpus again) — the streaming analogue of delta blocking.
     Matched duplicate/maybe edges append to ``edges_path``; the prepared
-    batch appends to ``corpus_path``.
+    batch appends to ``corpus_path``, and its exploded blocking keys to
+    ``<corpus_path>_keys`` — the persisted index that keeps per-batch
+    candidate generation O(|batch|) instead of O(|corpus|).
     """
     from bib_dedupe_spark import block, prep
     from bib_dedupe_spark.operators.match import match
     from bib_dedupe_spark.sources.webpages import records_from_webpages
+
+    keys_path = corpus_path.rstrip("/") + "_keys"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
@@ -177,32 +181,26 @@ def run_incremental_linkage(
                 return
 
         if corpus is not None and corpus.limit(1).count() > 0:
-            # delta blocking: pairs within the new batch OR crossing into
-            # the corpus; corpus-internal pairs were handled by earlier
-            # batches, so drop them
-            combined = corpus.unionByName(prepared_batch)
-            pairs = block(combined, max_block_size=max_block_size)
-            batch_ids = prepared_batch.select(
-                F.col("ID").alias("ID_1")
-            ).withColumn("_new1", F.lit(True))
-            batch_ids2 = prepared_batch.select(
-                F.col("ID").alias("ID_2")
-            ).withColumn("_new2", F.lit(True))
-            pairs = (
-                pairs.join(batch_ids, "ID_1", "left")
-                .join(batch_ids2, "ID_2", "left")
-                .filter(
-                    F.coalesce(F.col("_new1"), F.lit(False))
-                    | F.coalesce(F.col("_new2"), F.lit(False))
-                )
-                .drop("_new1", "_new2")
-            )
+            # delta blocking against the persisted key INDEX: candidate
+            # generation is batch-keys (broadcast) ⋈ corpus_keys — the
+            # corpus is never re-exploded, and corpus-internal pairs
+            # (handled by earlier batches) are never regenerated
+            from bib_dedupe_spark.operators.block import block_delta
+
+            corpus_keys = spark.read.parquet(keys_path)
+            pairs = block_delta(prepared_batch, corpus_keys, corpus)
         else:
             pairs = block(prepared_batch, max_block_size=max_block_size)
 
         matched = match(pairs)
         matched.write.mode("append").parquet(edges_path)
         prepared_batch.write.mode("append").parquet(corpus_path)
+        # maintain the blocking-key index alongside the corpus
+        from bib_dedupe_spark.operators.block import corpus_key_table
+
+        corpus_key_table(prepared_batch).write.mode("append").parquet(
+            keys_path
+        )
 
     return (
         pages_stream.writeStream.foreachBatch(process_batch)

@@ -75,3 +75,42 @@ def test_drop_strategy_removes_hot_pairs(skewed_prepared):
         )
     )
     assert dropped < unlimited
+
+
+def test_block_delta_equals_combined_restriction(spark):
+    """block_delta(batch, corpus_keys, corpus) must produce exactly the
+    pairs of block(corpus ∪ batch) that touch the batch — the delta-index
+    path regenerates nothing and misses nothing."""
+    import pandas as pd
+
+    from bib_dedupe_spark import block as block_fn
+    from bib_dedupe_spark import prep
+    from bib_dedupe_spark.operators.block import block_delta, corpus_key_table
+    from bib_dedupe_spark.sources.synthetic import generate
+
+    records, _ = generate(n_base=120, seed=31)
+    corpus_records = records[:90]
+    batch_records = records[90:]
+    corpus = prep(spark.createDataFrame(pd.DataFrame(corpus_records)))
+    batch = prep(
+        spark.createDataFrame(pd.DataFrame(batch_records)), validate=False
+    )
+    corpus_keys = corpus_key_table(corpus)
+
+    delta = block_delta(batch, corpus_keys, corpus)
+
+    combined = block_fn(
+        corpus.unionByName(batch), max_block_size=None
+    )
+    batch_ids = {r["ID"] for r in batch.select("ID").collect()}
+    want = {
+        (r["ID_1"], r["ID_2"], r["block_rule"])
+        for r in combined.select("ID_1", "ID_2", "block_rule").collect()
+        if r["ID_1"] in batch_ids or r["ID_2"] in batch_ids
+    }
+    got = {
+        (r["ID_1"], r["ID_2"], r["block_rule"])
+        for r in delta.select("ID_1", "ID_2", "block_rule").collect()
+    }
+    assert got == want
+    assert want, "test corpus produced no batch-touching pairs"
