@@ -133,3 +133,35 @@ def test_prep_title_hyphenated_number_words():
     from bib_dedupe_spark.functions.titles import norm_title
 
     assert norm_title("Twenty-One Candles: A Study") == "21 candles study"
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(alphabet="abcd", min_size=1, max_size=60),
+    st.text(alphabet="abcd", min_size=0, max_size=400),
+    st.sampled_from([0.0, 0.3, 0.5, 0.8, 0.95]),
+)
+def test_banded_window_scan_cutoff_contract(needle, hay, cutoff):
+    """fuzz_np.best_window_similarity is exact above the cutoff and a
+    lower bound below it, for every window-set branch (individual /
+    packed / stride+refine)."""
+    from bib_dedupe_spark.kernels import fuzz_np
+
+    exact = fuzz._best_window_similarity(needle, hay)
+    got = fuzz_np.best_window_similarity(needle, hay, cutoff)
+    if exact > cutoff:
+        assert abs(got - exact) < 1e-12
+    else:
+        assert got <= exact + 1e-12
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="abc", min_size=1, max_size=40),
+    st.text(alphabet="abc", min_size=0, max_size=200),
+)
+def test_partial_ratio_cutoff_zero_is_exact(needle, hay):
+    """score_cutoff=0 must be byte-identical to the unbanded result."""
+    assert fuzz.partial_ratio(needle, hay) == fuzz.partial_ratio(
+        needle, hay, score_cutoff=0.0
+    )
