@@ -122,3 +122,29 @@ def read_maybe_cases(spark: SparkSession, file_path: str) -> DataFrame:
         else:
             casts.append(F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c))
     return df.select(*casts)
+
+
+def compact_corpus_index(
+    spark: SparkSession,
+    keys_path: str,
+    table: str,
+    buckets: int = 64,
+) -> None:
+    """Compact the append-mode blocking-key index into a bucketed table.
+
+    The incremental-linkage key index (see ``block_delta``) accumulates
+    one small parquet append per micro-batch; periodically compacting it
+    into a table bucketed on the join key (rule_idx, key) both fixes the
+    small-files problem and makes the non-broadcast candidate join
+    exchange-free on the (big) index side. Re-point ``block_delta`` at
+    ``spark.table(table)`` afterwards.
+    """
+    df = spark.read.parquet(keys_path)
+    (
+        df.repartition(buckets, "rule_idx", "key")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "rule_idx", "key")
+        .sortBy("rule_idx", "key")
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -43,3 +43,44 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan, plan
     assert joined.count() == 500
     spark.sql("DROP TABLE IF EXISTS bucketed_records_test")
+
+
+def test_compact_corpus_index(spark, tmp_path):
+    """Compaction round-trips the key index and buckets it on the
+    candidate-join key."""
+    import pandas as pd
+
+    from bib_dedupe_spark import prep
+    from bib_dedupe_spark.operators.block import block_delta, corpus_key_table
+    from bib_dedupe_spark.sources.io import compact_corpus_index
+    from bib_dedupe_spark.sources.synthetic import generate
+
+    records, _ = generate(n_base=60, seed=41)
+    corpus = prep(spark.createDataFrame(pd.DataFrame(records[:45])))
+    batch = prep(
+        spark.createDataFrame(pd.DataFrame(records[45:])), validate=False
+    )
+    keys_path = str(tmp_path / "keys")
+    # two "micro-batch" appends
+    corpus_key_table(corpus).limit(50).write.mode("append").parquet(keys_path)
+    corpus_key_table(corpus).write.mode("append").parquet(keys_path)
+
+    spark.sql("DROP TABLE IF EXISTS corpus_index_test")
+    compact_corpus_index(spark, keys_path, "corpus_index_test", buckets=8)
+    compacted = spark.table("corpus_index_test")
+    raw = spark.read.parquet(keys_path)
+    assert compacted.count() == raw.count()
+
+    # delta blocking over the compacted index == over the raw appends
+    got = {
+        (r["ID_1"], r["ID_2"])
+        for r in block_delta(batch, compacted.dropDuplicates(), corpus)
+        .select("ID_1", "ID_2").collect()
+    }
+    want = {
+        (r["ID_1"], r["ID_2"])
+        for r in block_delta(batch, raw.dropDuplicates(), corpus)
+        .select("ID_1", "ID_2").collect()
+    }
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS corpus_index_test")
