@@ -196,6 +196,18 @@ def cluster(
     if not enforce_search_sets:
         return components
 
+    # cheapest gate first: with no non-empty search_set anywhere on the
+    # edges, the constraint cannot bind — skip the whole resolution plan
+    if (
+        edges_full.filter(
+            (F.col("sset_src") != "") | (F.col("sset_dst") != "")
+        )
+        .limit(1)
+        .count()
+        == 0
+    ):
+        return components
+
     # per-node search_set from the edge endpoints (cluster.py:102-106)
     sets_df = (
         edges_full.select(F.col("src").alias(C.ID), F.col("sset_src").alias("sset"))
