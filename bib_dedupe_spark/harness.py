@@ -667,13 +667,9 @@ def q_language_scores(spark, sf_dir):
     from bib_dedupe_spark.textops.quality import language_scores
 
     scored = language_scores(_docs(spark, sf_dir))
+    score_cols = [c for c in scored.columns if c.startswith("score_")]
     return scored.select(
-        F.col("doc").alias("doc_id"),
-        "score_en",
-        "score_de",
-        "score_fr",
-        "score_es",
-        "predicted_lang",
+        F.col("doc").alias("doc_id"), *score_cols, "predicted_lang"
     )
 
 
@@ -1102,18 +1098,26 @@ ORACLES = {
         " len(list_filter(words, t -> t = 'le' OR t = 'la' OR t = 'et'"
         "   OR t = 'les' OR t = 'des')) AS score_fr,"
         " len(list_filter(words, t -> t = 'el' OR t = 'la' OR t = 'de'"
-        "   OR t = 'que' OR t = 'los')) AS score_es"
-        " FROM w)"
+        "   OR t = 'que' OR t = 'los')) AS score_es,"
+        " len(list_filter(words, t -> t = 'il' OR t = 'che' OR t = 'di'"
+        "   OR t = 'non' OR t = 'per')) AS score_it,"
+        " len(list_filter(words, t -> t = 'het' OR t = 'een' OR t = 'van'"
+        "   OR t = 'niet' OR t = 'ik')) AS score_nl,"
+        " len(list_filter(words, t -> t = 'não' OR t = 'uma' OR t = 'por'"
+        "   OR t = 'como' OR t = 'mais')) AS score_pt"
+        " FROM w), "
+        "g AS (SELECT *, greatest(score_en, score_de, score_fr, score_es,"
+        " score_it, score_nl, score_pt) AS best FROM s)"
         " SELECT doc_id, score_en, score_de, score_fr, score_es,"
-        " CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0"
-        " THEN 'unknown'"
-        " WHEN score_en = greatest(score_en, score_de, score_fr, score_es)"
-        " THEN 'en'"
-        " WHEN score_de = greatest(score_en, score_de, score_fr, score_es)"
-        " THEN 'de'"
-        " WHEN score_fr = greatest(score_en, score_de, score_fr, score_es)"
-        " THEN 'fr'"
-        " ELSE 'es' END AS predicted_lang FROM s"
+        " score_it, score_nl, score_pt,"
+        " CASE WHEN best = 0 THEN 'unknown'"
+        " WHEN score_en = best THEN 'en'"
+        " WHEN score_de = best THEN 'de'"
+        " WHEN score_fr = best THEN 'fr'"
+        " WHEN score_es = best THEN 'es'"
+        " WHEN score_it = best THEN 'it'"
+        " WHEN score_nl = best THEN 'nl'"
+        " ELSE 'pt' END AS predicted_lang FROM g"
     ),
     "events_windowed": (
         "SELECT date_trunc('hour', ts) AS hour, event_type,"

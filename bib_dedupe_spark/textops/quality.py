@@ -13,6 +13,9 @@ LANGUAGE_PROFILES = {
     "de": ("der", "die", "und", "das", "nicht"),
     "fr": ("le", "la", "et", "les", "des"),
     "es": ("el", "la", "de", "que", "los"),
+    "it": ("il", "che", "di", "non", "per"),
+    "nl": ("het", "een", "van", "niet", "ik"),
+    "pt": ("não", "uma", "por", "como", "mais"),
 }
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")

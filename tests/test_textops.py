@@ -258,3 +258,42 @@ def test_repetition_stats(spark):
     assert got[2]["dup_ngram_frac"] == 0.0 and got[2]["n_ngrams"] == 2
     assert got[3]["n_ngrams"] == 3 and abs(got[3]["dup_ngram_frac"] - 2 / 3) < 1e-6
     assert got[4]["n_sentences"] == 0 and got[4]["dup_sentence_frac"] == 0.0
+
+
+def test_url_normalize_idempotent(spark):
+    """Canonicalization is a projection: normalize∘normalize == normalize."""
+    import random
+
+    from bib_dedupe_spark.textops import urls
+
+    rnd = random.Random(8)
+    hosts = ["Example.COM", "a.b.ORG", "x-y.net:443", "q.io:80", "u@p.de"]
+    paths = ["", "/", "/A/b", "/A/b/", "/z%20q"]
+    queries = ["", "?b=2&a=1", "?utm_source=x", "?a=1&utm_b=2&c=", "?k"]
+    frags = ["", "#f", "#a/b?c=1"]
+    rows = []
+    for _ in range(120):
+        rows.append((
+            rnd.choice(["http", "HTTPS"]) + "://" + rnd.choice(hosts)
+            + rnd.choice(paths) + rnd.choice(queries) + rnd.choice(frags),
+        ))
+    df = spark.createDataFrame(rows, ["url"])
+    once = df.select(urls.normalize_url("url").alias("u1"))
+    twice = once.select("u1", urls.normalize_url("u1").alias("u2"))
+    bad = twice.filter("u1 <> u2").collect()
+    assert not bad, bad[:3]
+
+
+def test_language_profiles_extended(spark):
+    from bib_dedupe_spark.textops.quality import language_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "il cane che corre non si ferma per niente di solito"),
+            (2, "het is een mooie dag van niet ik weet het"),
+            (3, "não sei por que uma pessoa como você quer mais"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc"]: r["predicted_lang"] for r in language_scores(docs).collect()}
+    assert got == {1: "it", 2: "nl", 3: "pt"}
