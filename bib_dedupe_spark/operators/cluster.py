@@ -116,7 +116,15 @@ def connected_components(
     )
 
 
-def _constrained_split_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+# one conflicted component is resolved inside one task; a component this
+# large means the matching rules glued a giant blob together (data-quality
+# failure) — fail loudly instead of grinding one executor for hours
+MAX_CONFLICTED_COMPONENT_EDGES = 5_000_000
+
+
+def _constrained_split_pdf(
+    pdf: pd.DataFrame, max_edges: int = MAX_CONFLICTED_COMPONENT_EDGES
+) -> pd.DataFrame:
     """Reference-faithful constrained DFS over one conflicted component.
 
     Re-implements /root/reference/bib_dedupe/cluster.py:13-64 semantics
@@ -125,6 +133,15 @@ def _constrained_split_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     fresh component) as an explicit stack, over edges in canonical
     (src, dst)-sorted order. Components are labeled by min member ID.
     """
+    if len(pdf) > max_edges:
+        raise ValueError(
+            f"conflicted component with {len(pdf)} edges exceeds "
+            f"MAX_CONFLICTED_COMPONENT_EDGES={max_edges}; "
+            "a same-search_set conflict inside a component this size means "
+            "the match rules over-merged — inspect it with "
+            "debug.component_summaries / blocking_key_stats before raising "
+            "the limit"
+        )
     pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
     adj: dict[str, list[str]] = {}
     eset: dict[str, str] = {}
@@ -174,6 +191,7 @@ def cluster(
     label: str = C.DUPLICATE,
     enforce_search_sets: bool = True,
     checkpoint_dir: str | None = None,
+    max_conflicted_edges: int = MAX_CONFLICTED_COMPONENT_EDGES,
 ) -> DataFrame:
     """Labeled edge list → DataFrame[ID, component].
 
@@ -257,7 +275,7 @@ def cluster(
         "semi",
     )
     resolved = conflicted_edges.groupBy("_comp").applyInPandas(
-        _constrained_split_pdf,
+        lambda pdf: _constrained_split_pdf(pdf, max_conflicted_edges),
         schema=f"{C.ID} string, {C.COMPONENT} string",
     )
     return clean.unionByName(resolved)

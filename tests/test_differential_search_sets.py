@@ -142,3 +142,17 @@ def test_multi_conflict_and_clean_components_mixed(spark):
     want = _ref_components(m)
     assert _our_components(spark, m) == want
     assert frozenset({"x", "y"}) in want and frozenset({"p", "q"}) in want
+
+
+def test_giant_conflicted_component_fails_loudly(spark):
+    """A pathological conflicted component must error with guidance, not
+    grind one task forever."""
+    from bib_dedupe_spark.operators import cluster as cl
+
+    m = _matched(
+        [("a", "b", "S", ""), ("b", "c", "", "S"), ("c", "d", "S", "")]
+    )
+    with pytest.raises(Exception, match="MAX_CONFLICTED_COMPONENT_EDGES"):
+        cl.cluster(
+            spark.createDataFrame(m), max_conflicted_edges=2
+        ).collect()
