@@ -297,3 +297,40 @@ def test_language_profiles_extended(spark):
     )
     got = {r["doc"]: r["predicted_lang"] for r in language_scores(docs).collect()}
     assert got == {1: "it", 2: "nl", 3: "pt"}
+
+
+def test_url_host_matches_stdlib(spark):
+    """Cross-validate host extraction and query filtering against
+    urllib.parse on well-formed URLs (independent public implementation)."""
+    import random
+    from urllib.parse import parse_qsl, urlsplit
+
+    from pyspark.sql import functions as F
+
+    from bib_dedupe_spark.textops import urls
+
+    rnd = random.Random(4)
+    hosts = ["example.com", "A.B.org", "x-1.net", "h.io:8080", "u:p@q.de:443"]
+    rows = []
+    for i in range(150):
+        q = rnd.choice(["", "?a=1&b=2", "?b=2&a=1&utm_source=f", "?z=9#f",
+                        "?utm_campaign=c&k=v"])
+        rows.append((f"http://{rnd.choice(hosts)}/p{i}{q}",))
+    df = spark.createDataFrame(rows, ["url"])
+    got = df.select(
+        "url",
+        urls.url_host("url").alias("host"),
+        urls.normalize_url("url").alias("canon"),
+    ).collect()
+    for r in got:
+        split = urlsplit(r["url"])
+        assert r["host"] == (split.hostname or ""), r["url"]
+        want_params = sorted(
+            f"{k}={v}"
+            for k, v in parse_qsl(split.query, keep_blank_values=False)
+            if not (k.startswith("utm_") or k in ("fbclid", "gclid",
+                                                  "msclkid", "ref"))
+        )
+        got_q = r["canon"].split("?", 1)[1] if "?" in r["canon"] else ""
+        got_params = sorted(p for p in got_q.split("&") if p)
+        assert got_params == want_params, (r["url"], r["canon"])
