@@ -116,6 +116,96 @@ def stream_stateful_first_seen(
     )
 
 
+def link_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    edges_path: str,
+    keys_path: str,
+    max_block_size: int | None = 1000,
+) -> None:
+    """Link one micro-batch of pages against the accumulated corpus.
+
+    IDEMPOTENT: every sink write lands in a ``_batch=<id>`` partition
+    directory with mode=overwrite, so a foreachBatch RETRY of the same
+    batch replaces its own partial output instead of double-appending
+    (parquet append in foreachBatch is the classic at-least-once
+    pitfall). Reads for dedup/blocking exclude the current batch's own
+    partition, so a retry sees exactly the pre-batch state.
+    """
+    from pyspark.sql.window import Window
+
+    from bib_dedupe_spark import block, prep
+    from bib_dedupe_spark.operators.block import block_delta, corpus_key_table
+    from bib_dedupe_spark.operators.match import match
+    from bib_dedupe_spark.sources.webpages import records_from_webpages
+
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return
+    # corpus ID uniqueness (ID := url): FIRST capture wins. Re-crawls
+    # of a url already linked carry the same entity identity, so a
+    # duplicate ID would only fan out enrichment joins and violate
+    # the ID_1 < ID_2 pair invariant. Within the batch keep the
+    # earliest warc_ts per url (per-url window — no global shuffle
+    # skew: partitionBy bounds each partition to one url's captures).
+    batch_df = (
+        batch_df.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("url").orderBy("warc_ts")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    prepared_batch = prep(records_from_webpages(batch_df), validate=False)
+
+    try:
+        # exclude this batch's own (possibly partial, failed-attempt)
+        # partition: a retry must see the pre-batch corpus
+        corpus = spark.read.parquet(corpus_path).filter(
+            F.col("_batch") != batch_id
+        )
+        if corpus.limit(1).count() == 0:
+            corpus = None
+    except Exception:
+        corpus = None
+
+    if corpus is not None:
+        # drop urls already in the corpus (first capture wins) so the
+        # accumulating corpus keeps exactly one row per ID
+        prepared_batch = prepared_batch.join(
+            corpus.select("ID"), "ID", "left_anti"
+        )
+        if prepared_batch.limit(1).count() == 0:
+            return
+
+    if corpus is not None:
+        # delta blocking against the persisted key INDEX: candidate
+        # generation is batch-keys (broadcast) ⋈ corpus_keys — the
+        # corpus is never re-exploded, and corpus-internal pairs
+        # (handled by earlier batches) are never regenerated
+        corpus_keys = spark.read.parquet(keys_path).filter(
+            F.col("_batch") != batch_id
+        )
+        pairs = block_delta(
+            prepared_batch, corpus_keys, corpus.drop("_batch")
+        )
+    else:
+        pairs = block(prepared_batch, max_block_size=max_block_size)
+
+    matched = match(pairs)
+    matched.write.mode("overwrite").parquet(f"{edges_path}/_batch={batch_id}")
+    prepared_batch.write.mode("overwrite").parquet(
+        f"{corpus_path}/_batch={batch_id}"
+    )
+    # maintain the blocking-key index alongside the corpus
+    corpus_key_table(prepared_batch).write.mode("overwrite").parquet(
+        f"{keys_path}/_batch={batch_id}"
+    )
+
+
 def run_incremental_linkage(
     pages_stream: DataFrame,
     corpus_path: str,
@@ -129,77 +219,23 @@ def run_incremental_linkage(
     prepped; candidate pairs are generated ONLY between the batch and the
     previously accumulated prepared corpus plus within the batch (never
     corpus × corpus again) — the streaming analogue of delta blocking.
-    Matched duplicate/maybe edges append to ``edges_path``; the prepared
-    batch appends to ``corpus_path``, and its exploded blocking keys to
+    Matched duplicate/maybe edges land under ``edges_path``; the prepared
+    batch under ``corpus_path``, and its exploded blocking keys under
     ``<corpus_path>_keys`` — the persisted index that keeps per-batch
-    candidate generation O(|batch|) instead of O(|corpus|).
+    candidate generation O(|batch|) instead of O(|corpus|). All three are
+    ``_batch=<id>``-partitioned overwrites: retries are idempotent (see
+    :func:`link_batch`).
     """
-    from bib_dedupe_spark import block, prep
-    from bib_dedupe_spark.operators.match import match
-    from bib_dedupe_spark.sources.webpages import records_from_webpages
-
     keys_path = corpus_path.rstrip("/") + "_keys"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql.window import Window
-
-        spark = batch_df.sparkSession
-        if batch_df.isEmpty():
-            return
-        # corpus ID uniqueness (ID := url): FIRST capture wins. Re-crawls
-        # of a url already linked carry the same entity identity, so a
-        # duplicate ID would only fan out enrichment joins and violate
-        # the ID_1 < ID_2 pair invariant. Within the batch keep the
-        # earliest warc_ts per url (per-url window — no global shuffle
-        # skew: partitionBy bounds each partition to one url's captures).
-        batch_df = (
-            batch_df.withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("url").orderBy("warc_ts")
-                ),
-            )
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        prepared_batch = prep(
-            records_from_webpages(batch_df), validate=False
-        ).withColumn("_batch", F.lit(batch_id))
-
-        try:
-            corpus = spark.read.parquet(corpus_path)
-        except Exception:
-            corpus = None
-
-        if corpus is not None:
-            # drop urls already in the corpus (first capture wins) so the
-            # accumulating corpus keeps exactly one row per ID
-            prepared_batch = prepared_batch.join(
-                corpus.select("ID"), "ID", "left_anti"
-            )
-            if prepared_batch.limit(1).count() == 0:
-                return
-
-        if corpus is not None and corpus.limit(1).count() > 0:
-            # delta blocking against the persisted key INDEX: candidate
-            # generation is batch-keys (broadcast) ⋈ corpus_keys — the
-            # corpus is never re-exploded, and corpus-internal pairs
-            # (handled by earlier batches) are never regenerated
-            from bib_dedupe_spark.operators.block import block_delta
-
-            corpus_keys = spark.read.parquet(keys_path)
-            pairs = block_delta(prepared_batch, corpus_keys, corpus)
-        else:
-            pairs = block(prepared_batch, max_block_size=max_block_size)
-
-        matched = match(pairs)
-        matched.write.mode("append").parquet(edges_path)
-        prepared_batch.write.mode("append").parquet(corpus_path)
-        # maintain the blocking-key index alongside the corpus
-        from bib_dedupe_spark.operators.block import corpus_key_table
-
-        corpus_key_table(prepared_batch).write.mode("append").parquet(
-            keys_path
+        link_batch(
+            batch_df,
+            batch_id,
+            corpus_path,
+            edges_path,
+            keys_path,
+            max_block_size=max_block_size,
         )
 
     return (

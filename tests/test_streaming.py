@@ -159,3 +159,40 @@ def test_incremental_linkage_recrawl_keeps_corpus_ids_unique(spark, tmp_path):
     first_title = (rows[0]["text"] or "").split(".")[0]
     kept = {r["ID"]: r["title"] for r in got.select("ID", "title").collect()}
     assert not kept[rows[0]["url"]].startswith("changed")
+
+
+def test_link_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch retries re-run the same batch_id: link_batch must
+    replace its own partial output, never double-append."""
+    from bib_dedupe_spark.streaming.dedup_stream import link_batch
+
+    corpus = str(tmp_path / "c")
+    edges = str(tmp_path / "e")
+    keys = str(tmp_path / "k")
+    rows, _ = synthesize_webpages(14, dup_rate=0.4, seed=19)
+    half = len(rows) // 2
+    b0 = spark.createDataFrame(rows[:half], schema=PAGE_SCHEMA)
+    b1 = spark.createDataFrame(rows[half:], schema=PAGE_SCHEMA)
+
+    link_batch(b0, 0, corpus, edges, keys)
+    link_batch(b1, 1, corpus, edges, keys)
+    snapshot_corpus = sorted(
+        r["ID"] for r in spark.read.parquet(corpus).collect()
+    )
+    snapshot_edges = sorted(
+        (r["ID_1"], r["ID_2"], r["duplicate_label"])
+        for r in spark.read.parquet(edges).collect()
+    )
+
+    # RETRY of batch 1 (same data, same id) — nothing may change
+    link_batch(b1, 1, corpus, edges, keys)
+    assert sorted(
+        r["ID"] for r in spark.read.parquet(corpus).collect()
+    ) == snapshot_corpus
+    assert sorted(
+        (r["ID_1"], r["ID_2"], r["duplicate_label"])
+        for r in spark.read.parquet(edges).collect()
+    ) == snapshot_edges
+    # key index also stable
+    k = spark.read.parquet(keys)
+    assert k.count() == k.dropDuplicates().count()
