@@ -243,3 +243,31 @@ def run_incremental_linkage(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_host_rates(
+    pages_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Watermarked event-time window: pages per host per window.
+
+    Crawl-rate observability for the streaming path (the batch analogue
+    is ``textops.urls.host_doc_counts``): late captures inside the
+    watermark horizon still land in their window; state is bounded by
+    the watermark. Partial aggregation applies — at 10^12 pages/day the
+    shuffle carries one row per (host, window) per task, not per page.
+    """
+    from bib_dedupe_spark.textops.urls import url_host
+
+    return (
+        pages_stream.withColumn("host", url_host(url_col))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col("host"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.approx_count_distinct(url_col).alias("n_urls_approx"),
+        )
+    )

@@ -196,3 +196,47 @@ def test_link_batch_retry_is_idempotent(spark, tmp_path):
     # key index also stable
     k = spark.read.parquet(keys)
     assert k.count() == k.dropDuplicates().count()
+
+
+def test_stream_host_rates(spark, tmp_path):
+    import datetime
+
+    from bib_dedupe_spark.streaming.dedup_stream import stream_host_rates
+
+    src = str(tmp_path / "pages_rates")
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(12):
+        rows.append({
+            "url": f"https://host{'a' if i % 3 else 'b'}.org/p{i}",
+            "warc_ts": base + datetime.timedelta(minutes=i),
+            "html": None, "text": f"t{i}", "lang": "en", "search_set": "",
+        })
+    # a late-but-within-watermark event for the first window
+    rows.append({
+        "url": "https://hostb.org/late",
+        "warc_ts": base + datetime.timedelta(minutes=1),
+        "html": None, "text": "late", "lang": "en", "search_set": "",
+    })
+    _write_pages(spark, rows, src)
+
+    stream = spark.readStream.schema(PAGE_SCHEMA).parquet(src)
+    q = (
+        stream_host_rates(stream, window="10 minutes", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("host_rates_test")
+        .outputMode("complete")  # availableNow drain: append would emit
+        # only watermark-closed windows (none in a single batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_rates"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["host"], r["window"]["start"].minute): r["n_pages"]
+        for r in spark.sql("select * from host_rates_test").collect()
+    }
+    # window 12:00-12:10: hosta minutes 1,2,4,5,7,8 = 6; hostb 0,3,6,9 = 4+late
+    assert got[("hosta.org", 0)] == 6
+    assert got[("hostb.org", 0)] == 5
+    assert got[("hosta.org", 10)] == 2  # minutes 10, 11
