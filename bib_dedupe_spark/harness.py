@@ -442,6 +442,31 @@ def q_url_canonical(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """url-level dedup, first capture wins (min_by groupBy, no window).
+
+    Pseudo-pages derived from documents: every third doc is a re-crawl of
+    the previous doc's url with a later timestamp — the dedup must keep
+    the earlier capture's doc_id per canonical url."""
+    from bib_dedupe_spark.textops.urls import dedup_by_url
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    base = F.when(
+        F.col("doc_id") % 3 == 2, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".org/p/"),
+            base.cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 7).cast("long").alias("warc_ts"),
+    )
+    return dedup_by_url(pages, url_col="url", ts_col="warc_ts").select(
+        "canonical_url", "doc_id", "warc_ts"
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition gates: duplicate-sentence and duplicate
     word-3-gram fractions (native expressions)."""
@@ -735,6 +760,7 @@ QUERIES = {
     "quality_flags": q_quality_flags,
     "url_canonical": q_url_canonical,
     "repetition_stats": q_repetition_stats,
+    "url_dedup": q_url_dedup,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
     "ivf_topk": q_ivf_topk,
@@ -949,6 +975,17 @@ ORACLES = {
         " END AS canonical_url,"
         " 'www.' || source || '.example.com' AS host"
         " FROM documents"
+    ),
+    "url_dedup": (
+        "WITH pages AS (SELECT doc_id,"
+        " 'https://' || source || '.org/p/' ||"
+        " CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id - 1 ELSE doc_id END"
+        "  AS VARCHAR) AS url,"
+        " CAST(doc_id % 7 AS BIGINT) AS warc_ts FROM documents)"
+        " SELECT url AS canonical_url,"
+        " arg_min(doc_id, warc_ts) AS doc_id,"
+        " min(warc_ts) AS warc_ts"
+        " FROM pages GROUP BY url"
     ),
     "repetition_stats": (
         "WITH base AS (SELECT doc_id AS doc,"
