@@ -129,3 +129,56 @@ def test_maybe_csv_rotation_round_trip(spark, tmp_path):
     out = import_maybe(matched, read_maybe_cases(spark, rotated))
     labels = {(r["ID_1"], r["ID_2"]): r["duplicate_label"] for r in out.collect()}
     assert labels == {("r1", "r2"): "duplicate"}
+
+
+def test_human_in_the_loop_end_to_end(spark, tmp_path):
+    """Full reviewer story: pipeline -> maybe review csv -> reviewer edit
+    -> import -> recluster -> merge. The confirmed maybe pair must end up
+    merged; the rejected one must stay separate."""
+    import pandas as pd
+
+    from bib_dedupe_spark import block, prep
+    from bib_dedupe_spark.operators.cluster import cluster
+    from bib_dedupe_spark.operators.match import match
+    from bib_dedupe_spark.operators.maybe import export_maybe, import_maybe
+    from bib_dedupe_spark.operators.merge import merge
+    from bib_dedupe_spark.sources.io import read_maybe_cases, write_maybe_cases
+    from bib_dedupe_spark.sources.synthetic import generate
+
+    records, _ = generate(n_base=80, seed=29)
+    rdf = spark.createDataFrame(pd.DataFrame(records))
+    prepared = prep(rdf)
+    matched = match(block(prepared, max_block_size=None)).persist()
+    maybes = matched.filter("duplicate_label = 'maybe'")
+    if maybes.limit(1).count() == 0:
+        import pytest
+
+        pytest.skip("corpus produced no maybe pairs at this seed")
+
+    review = export_maybe(matched, prepared)
+    path = str(tmp_path / "maybe_cases.csv")
+    write_maybe_cases(review, path)
+
+    # the reviewer confirms exactly one cluster
+    edited = pd.read_csv(path)
+    first_cluster = edited["cluster_ID"].iloc[0]
+    confirmed_ids = set(
+        edited.loc[edited["cluster_ID"] == first_cluster, "ID"]
+    )
+    edited.loc[edited["cluster_ID"] == first_cluster, "duplicate_label"] = (
+        "duplicate"
+    )
+    edited.to_csv(path, index=False)
+
+    updated = import_maybe(matched, read_maybe_cases(spark, path))
+    assert updated.filter("duplicate_label = 'maybe'").count() == 0
+
+    components = cluster(updated)
+    comp_of = {r["ID"]: r["component"] for r in components.collect()}
+    a, b = sorted(confirmed_ids)
+    assert comp_of.get(a) == comp_of.get(b), "confirmed pair not clustered"
+
+    merged = merge(prepared, components)
+    ids = {r["ID"] for r in merged.select("ID").collect()}
+    assert a in ids and b not in ids  # min-ID survived the merge
+    matched.unpersist()
