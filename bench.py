@@ -101,10 +101,15 @@ def run_dedupe(spark) -> dict:
         .persist()
     )
     n_big = big_pairs.count()
-    t0 = time.time()
-    # noop write: count() alone would let Catalyst prune the scoring UDF
-    score(big_pairs).write.format("noop").mode("overwrite").save()
-    t_sim_big = time.time() - t0
+    # noop write: count() alone would let Catalyst prune the scoring UDF.
+    # best-of-2: the host is co-tenanted, a single pass can land on a
+    # tenant spike and misreport throughput by 5x (see BENCH_SCALING.md)
+    t_sim_big = None
+    for _ in range(2):
+        t0 = time.time()
+        score(big_pairs).write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        t_sim_big = wall if t_sim_big is None else min(t_sim_big, wall)
     big_pairs.unpersist()
     big_prepared.unpersist()
 
