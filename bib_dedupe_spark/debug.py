@@ -95,7 +95,9 @@ def explain_component(
     subset = records_df.filter(F.col(C.ID).isin(list(component_ids)))
     prepared = prep(subset, validate=False)
     pairs = block(prepared, max_block_size=None)
-    scored = sim.score(pairs).persist()
+    # debug output is read by humans: request EXACT abstract sims (the
+    # pipeline's banded kernel returns lower bounds below the rule cutoff)
+    scored = sim.score(pairs, abstract_cutoff=0.0).persist()
     matched = match_scored(scored, persist=False)
 
     pair_ids = [
@@ -140,12 +142,20 @@ def run_debug_cli(args, spark) -> None:
         prepared = prep(
             records.filter(F.col(C.ID).isin(list(args.pair))), validate=False
         )
-        scored = sim_op.score(block_op(prepared, max_block_size=None))
+        scored = sim_op.score(
+            block_op(prepared, max_block_size=None), abstract_cutoff=0.0
+        )
         import json
 
         print(json.dumps(explain_pair(scored, *args.pair), indent=1, default=str))
         return
 
+    if not args.components:
+        raise SystemExit(
+            "debug: --components <parquet path> is required unless --pair "
+            "ID1 ID2 is given (pair mode explains one candidate pair; "
+            "component mode browses the clustered output)"
+        )
     components = spark.read.parquet(args.components)
     summary = component_summaries(components, records, min_size=args.min_size)
     rows = summary.limit(args.limit).collect()

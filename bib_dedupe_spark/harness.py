@@ -426,7 +426,9 @@ def q_url_canonical(spark, sf_dir):
         F.lit("HTTPS://WWW."),
         F.col("source"),
         F.lit(".Example.COM"),
-        F.when(variant == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.when(variant == 0, F.lit(":443"))
+        .when(variant == 2, F.lit(":8443"))
+        .otherwise(F.lit("")),
         F.lit("/Docs/"),
         F.col("doc_id").cast("string"),
         F.when(variant == 1, F.lit("/")).otherwise(F.lit("")),
@@ -971,7 +973,8 @@ ORACLES = {
         "   || doc_id || '?a=1&b=2'"
         "  WHEN 1 THEN 'https://www.' || source || '.example.com/Docs/'"
         "   || doc_id"
-        "  ELSE 'https://www.' || source || '.example.com/Docs/' || doc_id"
+        "  ELSE 'https://www.' || source || '.example.com:8443/Docs/'"
+        "   || doc_id"
         " END AS canonical_url,"
         " 'www.' || source || '.example.com' AS host"
         " FROM documents"

@@ -74,11 +74,26 @@ class StageRunner:
         if self.completed(stage):
             table = self.manifest[stage].get("bucket_table")
             if table:
-                return self.spark.table(table)
+                # Prefer the registered table (keeps bucket metadata → no
+                # Exchange on downstream equi-joins). A restart from a
+                # different cwd/warehouse won't see the derby metastore, so
+                # fall back to the recorded filesystem location as plain
+                # parquet — data identical, only bucketing metadata lost.
+                if self.spark.catalog.tableExists(table):
+                    return self.spark.table(table)
+                loc = self.manifest[stage].get("bucket_location")
+                if loc:
+                    return self.spark.read.parquet(loc)
+                raise FileNotFoundError(
+                    f"stage {stage!r}: bucketed table {table!r} not in this "
+                    "session's metastore and no bucket_location recorded in "
+                    "the manifest — re-run from the original warehouse dir"
+                )
             return self.spark.read.parquet(path)
 
         start = time.time()
         df = build()
+        bucket_location = None
         if bucket_by is not None:
             from bib_dedupe_spark.sources.io import write_records_bucketed
 
@@ -87,6 +102,12 @@ class StageRunner:
                 df, table, buckets=buckets, bucket_col=bucket_by
             )
             out = self.spark.table(table)
+            loc_rows = (
+                self.spark.sql(f"DESCRIBE FORMATTED {table}")
+                .filter(F.col("col_name") == "Location")
+                .collect()
+            )
+            bucket_location = loc_rows[0]["data_type"] if loc_rows else None
         else:
             df.write.mode("overwrite").parquet(path)
             out = self.spark.read.parquet(path)
@@ -108,6 +129,7 @@ class StageRunner:
             "wall_s": round(wall, 3),
             "path": path,
             "bucket_table": self._bucket_table(stage) if bucket_by else None,
+            "bucket_location": bucket_location,
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
         self._save_manifest()

@@ -13,6 +13,8 @@ plain SQL strings over the similarity + raw pair columns.
 """
 from __future__ import annotations
 
+import re
+
 from bib_dedupe_spark import constants as C
 
 AUTHOR = C.AUTHOR
@@ -239,3 +241,86 @@ def duplicate_predicate() -> str:
 
 def veto_predicate() -> str:
     return "NOT (" + " OR ".join(NON_DUPLICATE_CONDITIONS) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Staged (lazy) similarity support: three-valued rule bounds.
+#
+# The expensive kernels are author and abstract. Every atom referencing
+# the author/abstract SIM columns in the default rule set is of the form
+# `sim > t` or `sim = 1.0` and appears in a NOT-free (positive) context,
+# so each predicate is monotone NON-DECREASING in both unknowns:
+# substituting 1.0 yields an upper bound (can-the-rule-fire) and 0.0 a
+# lower bound (must-the-rule-fire), for ANY actual value in [0,1] or
+# NULL. The veto conditions read only raw columns + cheap sims, so they
+# are exact before the expensive kernels run. match.py uses these bounds
+# to decide most pairs on cheap sims alone. Monotonicity is pinned by
+# test_rules (token scan: no NOT enclosing an author/abstract sim atom).
+# ---------------------------------------------------------------------------
+
+# bare sim-column tokens; \b does not match before '_', so author_1,
+# author_full_1, abstract_2 etc. are untouched
+_AUTHOR_TOKEN = re.compile(rf"\b{AUTHOR}\b")
+_ABSTRACT_TOKEN = re.compile(rf"\b{ABSTRACT}\b")
+
+
+def substitute_expensive(sql: str, author_val: float, abstract_val: float) -> str:
+    """Replace bare ``author``/``abstract`` sim references with literals."""
+    sql = _AUTHOR_TOKEN.sub(f"CAST({author_val} AS DOUBLE)", sql)
+    sql = _ABSTRACT_TOKEN.sub(f"CAST({abstract_val} AS DOUBLE)", sql)
+    return sql
+
+
+def references_expensive(sql: str) -> bool:
+    """Does ``sql`` read the author or abstract SIM column?"""
+    return bool(_AUTHOR_TOKEN.search(sql) or _ABSTRACT_TOKEN.search(sql))
+
+
+_CMP_RIGHT = re.compile(
+    rf"\b{ABSTRACT}\b\s*(>=|<=|!=|=|>|<)\s*([0-9]*\.?[0-9]+)"
+)
+_CMP_LEFT = re.compile(
+    rf"([0-9]*\.?[0-9]+)\s*(>=|<=|!=|=|>|<)\s*\b{ABSTRACT}\b"
+)
+_FLIP = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "=": "=", "!=": "!="}
+
+
+def validate_abstract_cutoff(conditions, cutoff: float) -> None:
+    """Raise unless every ``abstract``-sim comparison in ``conditions`` is
+    decided identically by the banded kernel's lower-bound contract.
+
+    The sim stage computes ``sim_abstract`` with a partial-ratio cutoff:
+    values above ``cutoff`` are exact, values below are lower bounds.
+    A comparison `abstract > t` (or `>= t`, `= 1.0`) with t >= cutoff is
+    therefore unaffected; any comparison against a threshold BELOW the
+    cutoff (or any `<`/`<=`/`!=` form, which a lower bound can flip)
+    could silently change under banding. Callers with such rules must
+    request exact scoring (``abstract_cutoff=0.0``).
+    """
+    for cond in conditions:
+        hits = [
+            (op, float(val)) for op, val in _CMP_RIGHT.findall(cond)
+        ] + [
+            (_FLIP[op], float(val)) for val, op in _CMP_LEFT.findall(cond)
+        ]
+        stripped = _CMP_RIGHT.sub(" TRUE ", cond)
+        stripped = _CMP_LEFT.sub(" TRUE ", stripped)
+        if _ABSTRACT_TOKEN.search(stripped):
+            raise ValueError(
+                "rule reads the abstract sim column in a form the banded-"
+                "kernel validator cannot prove safe: "
+                f"{cond!r}. Pass abstract_cutoff=0.0 to match()/score() "
+                "for exact abstract similarities."
+            )
+        for op, val in hits:
+            safe = (
+                op in (">", ">=") and val >= cutoff
+            ) or (op == "=" and val >= cutoff)
+            if not safe:
+                raise ValueError(
+                    f"rule compares abstract sim with '{op} {val}', below "
+                    f"the banded-kernel cutoff {cutoff}: outcomes would "
+                    "depend on lower-bound (inexact) values. Pass "
+                    "abstract_cutoff=0.0 to match()/score() for exact "
+                    "abstract similarities, or raise the rule threshold."
+                )

@@ -6,7 +6,11 @@ codegen; no Python), so the canonical-url groupBy is an ordinary
 partial-aggregable shuffle at 10^12 rows.
 
 Canonicalization (conservative, lossless for dedup purposes):
-  - scheme + host lowercased; explicit default ports (:80/:443) dropped
+  - scheme + host lowercased; DEFAULT ports dropped (http:80 / https:443)
+    but non-default ports (e.g. :8080) are KEPT — distinct origins stay
+    distinct
+  - userinfo (user:pass@) dropped deliberately: it is not part of the
+    resource identity for crawl dedup and leaks credentials into keys
   - fragment (#...) dropped
   - tracking params removed (utm_*, fbclid, gclid, msclkid, ref)
   - remaining query params SORTED (order-insensitive compare)
@@ -28,11 +32,25 @@ def url_host(url: Column | str) -> Column:
     )
 
 
+def url_port(url: Column | str) -> Column:
+    """Explicit port string ('' when absent)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/]*@)?[^/:?#]+:(\d+)", 1)
+
+
 def normalize_url(url: Column | str) -> Column:
     """Canonical form of ``url`` (see module docstring)."""
     c = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = url_host(c)
+    port = url_port(c)
+    # keep the port unless it's the scheme's default (http:80 / https:443)
+    is_default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    portpart = F.when((port == "") | is_default, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
     # path: after authority, before ?/# — strip trailing slash (keep root)
     path = F.regexp_extract(c, r"^[^:]+://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(
@@ -48,7 +66,7 @@ def normalize_url(url: Column | str) -> Column:
     qnorm = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
         F.lit("")
     )
-    return F.concat(scheme, F.lit("://"), host, path, qnorm)
+    return F.concat(scheme, F.lit("://"), host, portpart, path, qnorm)
 
 
 def dedup_by_url(

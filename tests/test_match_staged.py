@@ -1,0 +1,160 @@
+"""Staged (lazy) similarity scoring: parity + the invariants it rests on.
+
+The staged match path (operators/match.py:match_staged) decides most
+pairs from cheap sims using rule BOUNDS with author/abstract pinned to
+their extremes. That is sound only while:
+  1. every author/abstract SIM atom in the duplicate + maybe rules is
+     monotone non-decreasing and appears in a NOT-free context, and
+  2. no veto condition reads the author/abstract SIM columns.
+Both are pinned structurally here, and the end-to-end edge parity
+(staged vs full scoring) is pinned on a messy corpus. The differential
+tests (test_differential*.py) additionally pin the staged path against
+the reference implementation.
+"""
+import re
+
+import pandas as pd
+import pytest
+
+from bib_dedupe_spark import block, prep, rules
+from bib_dedupe_spark.operators import sim
+from bib_dedupe_spark.operators.match import match, match_scored, match_staged
+from bib_dedupe_spark.sources.synthetic import generate
+
+
+def _edges(df):
+    return {
+        (frozenset((r.ID_1, r.ID_2)), r.duplicate_label)
+        for r in df.toPandas().itertuples()
+    }
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    records, _ = generate(n_base=200, seed=31, messy=True)
+    prepared = prep(spark.createDataFrame(pd.DataFrame(records)))
+    return block(prepared, max_block_size=None).persist()
+
+
+def test_staged_matches_full_scoring(spark, pairs):
+    full = match_scored(sim.score(pairs), persist=False)
+    staged = match_staged(pairs)
+    assert _edges(staged) == _edges(full)
+
+
+def test_match_default_routes_staged(spark, pairs):
+    # match() with the default rule set must give identical edges either way
+    assert _edges(match(pairs)) == _edges(match(pairs, staged=False))
+
+
+def test_staged_skips_most_expensive_pairs(spark, pairs):
+    from bib_dedupe_spark.operators.match import staged_decision_stats
+
+    stats = staged_decision_stats(pairs)
+    assert stats["total"] > 0
+    # the whole point: the expensive kernels run on a small remainder
+    assert stats["undecided"] / stats["total"] < 0.35, stats
+    assert (
+        stats["certain_dup"]
+        + stats["certain_maybe"]
+        + stats["decided_drop"]
+        + stats["undecided"]
+        == stats["total"]
+    )
+
+
+# ---- structural invariants the bounds rely on ----------------------------
+
+_UNKNOWN = re.compile(r"\b(author|abstract)\b")
+
+
+def _not_scopes(sql: str):
+    """Yield the parenthesized argument of every NOT(...) in sql."""
+    for m in re.finditer(r"\bNOT\s*\(", sql):
+        depth, start = 1, m.end()
+        i = start
+        while depth and i < len(sql):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        yield sql[start : i - 1]
+
+
+def test_unknown_sims_never_under_not():
+    for cond in rules.DUPLICATE_CONDITIONS + [rules.MAYBE_CONDITION]:
+        for scope in _not_scopes(cond):
+            assert not _UNKNOWN.search(scope), (
+                "author/abstract sim atom inside NOT(...) — the monotone "
+                f"bound substitution would be unsound: {scope!r}"
+            )
+
+
+def test_unknown_sim_atoms_are_monotone_increasing():
+    atom = re.compile(
+        r"\b(?:author|abstract)\b\s*(>=|>|=)\s*(0?\.[0-9]+|1\.0|0\.9[0-9]*)"
+    )
+    for cond in rules.DUPLICATE_CONDITIONS + [rules.MAYBE_CONDITION]:
+        stripped = atom.sub(" TRUE ", cond)
+        assert not _UNKNOWN.search(stripped), (
+            "author/abstract sim appears in a non `> t` / `= 1.0` form — "
+            f"update the staged-match bounds analysis: {stripped!r}"
+        )
+
+
+def test_vetoes_read_no_expensive_sims():
+    for cond in rules.NON_DUPLICATE_CONDITIONS:
+        assert not rules.references_expensive(cond), cond
+
+
+def test_substitution_touches_only_bare_tokens():
+    sql = (
+        "author > 0.7 AND author_1 != '' AND author_full_2 != 'x' "
+        "AND abstract = 1.0 AND abstract_1 = abstract_2"
+    )
+    out = rules.substitute_expensive(sql, 1.0, 0.0)
+    assert "author_1" in out and "author_full_2" in out
+    assert "abstract_1 = abstract_2" in out
+    assert "CAST(1.0 AS DOUBLE) > 0.7" in out
+    assert "CAST(0.0 AS DOUBLE) = 1.0" in out
+
+
+# ---- banded-cutoff plan-build guard ---------------------------------------
+
+
+def test_validate_abstract_cutoff_accepts_default_rules():
+    rules.validate_abstract_cutoff(
+        rules.DUPLICATE_CONDITIONS
+        + rules.NON_DUPLICATE_CONDITIONS
+        + [rules.MAYBE_CONDITION],
+        rules.MIN_ABSTRACT_SIM_THRESHOLD,
+    )
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "abstract > 0.5",
+        "abstract >= 0.79",
+        "abstract < 0.9",
+        "abstract != 0.95",
+        "0.5 < abstract",
+        "abstract * 2 > 1.9",
+    ],
+)
+def test_validate_abstract_cutoff_rejects(bad):
+    with pytest.raises(ValueError, match="abstract"):
+        rules.validate_abstract_cutoff([bad], rules.MIN_ABSTRACT_SIM_THRESHOLD)
+
+
+def test_match_rejects_low_custom_abstract_rule(spark, pairs):
+    with pytest.raises(ValueError, match="abstract"):
+        match(pairs, duplicate_conditions=["abstract > 0.5"])
+    # explicit exact scoring opts out of the guard (and must run)
+    out = match(
+        pairs,
+        duplicate_conditions=["title > 0.99 AND abstract > 0.5"],
+        abstract_cutoff=0.0,
+    )
+    out.count()  # plan must execute

@@ -219,6 +219,12 @@ def test_url_normalize_and_dedup(spark):
         ("http://example.com/a/b?a=2", datetime(2026, 1, 1)),
         # userinfo is not part of the host
         ("https://user:pw@Host.net/x", datetime(2026, 1, 1)),
+        # non-default port is a DISTINCT origin — must not merge with :80
+        ("http://example.com:8080/a/b?a=1&b=2", datetime(2026, 1, 1)),
+        # https with explicit :80 is non-default for https — kept
+        ("https://example.com:80/a/b?a=1&b=2", datetime(2026, 1, 1)),
+        # https default :443 is dropped
+        ("HTTPS://Example.com:443/s", datetime(2026, 1, 1)),
     ]
     pages = spark.createDataFrame(rows, ["url", "warc_ts"])
     norm = {r["url"]: r["n"] for r in pages.select(
@@ -228,16 +234,22 @@ def test_url_normalize_and_dedup(spark):
     assert norm["https://Root.org"] == "https://root.org/"
     assert norm["https://root.org/#frag"] == "https://root.org/"
     assert norm["https://user:pw@Host.net/x"] == "https://host.net/x"
+    assert norm["http://example.com:8080/a/b?a=1&b=2"] == \
+        "http://example.com:8080/a/b?a=1&b=2"
+    assert norm["https://example.com:80/a/b?a=1&b=2"] == \
+        "https://example.com:80/a/b?a=1&b=2"
+    assert norm["HTTPS://Example.com:443/s"] == "https://example.com/s"
 
     deduped = urls.dedup_by_url(pages).collect()
     by_curl = {r["canonical_url"]: r for r in deduped}
-    assert len(by_curl) == 4  # example/a/b, root, a/b?a=2, host.net/x
+    # example/a/b, root, a/b?a=2, host.net/x, :8080 origin, https:80 origin, /s
+    assert len(by_curl) == 7
     # earliest capture wins
     assert by_curl["http://example.com/a/b?a=1&b=2"]["warc_ts"] == datetime(2026, 1, 1)
     assert by_curl["https://root.org/"]["warc_ts"] == datetime(2026, 1, 1)
 
     hosts = {r["host"]: r["n_docs"] for r in urls.host_doc_counts(pages).collect()}
-    assert hosts["example.com"] == 3 and hosts["root.org"] == 2
+    assert hosts["example.com"] == 6 and hosts["root.org"] == 2
 
 
 def test_repetition_stats(spark):
