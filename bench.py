@@ -110,6 +110,20 @@ def run_dedupe(spark) -> dict:
         score(big_pairs).write.format("noop").mode("overwrite").save()
         wall = time.time() - t0
         t_sim_big = wall if t_sim_big is None else min(t_sim_big, wall)
+
+    # staged decision throughput: pairs -> labeled edges via the DEFAULT
+    # pipeline path (cheap sims everywhere, expensive kernels only on the
+    # rule-bound-undecided remainder). Each match() call persists a fresh
+    # internal stage-1 frame (new lineage per call), so pass 2 re-runs the
+    # kernels; the leaked caches are released with the big frames below.
+    from bib_dedupe_spark.operators.match import match as match_lazy
+
+    t_staged_big = None
+    for _ in range(2):
+        t0 = time.time()
+        match_lazy(big_pairs).write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        t_staged_big = wall if t_staged_big is None else min(t_staged_big, wall)
     big_pairs.unpersist()
     big_prepared.unpersist()
 
@@ -131,6 +145,7 @@ def run_dedupe(spark) -> dict:
     sim_match_wall = t_sim + t_match
     for df in (prepared, pairs, scored, matched):
         df.unpersist()
+    spark.catalog.clearCache()  # release the staged passes' internal caches
     return {
         "records": n_records,
         "candidate_pairs": n_pairs,
@@ -143,6 +158,9 @@ def run_dedupe(spark) -> dict:
         "sim_throughput_pairs": n_big,
         "sim_throughput_wall_s": round(t_sim_big, 2),
         "sim_throughput_pairs_per_s": round(n_big / t_sim_big, 1),
+        "staged_match_wall_s": round(t_staged_big, 2),
+        "staged_match_pairs_per_s": round(n_big / t_staged_big, 1),
+        "staged_speedup_vs_full_scoring": round(t_sim_big / t_staged_big, 2),
         "precision": round(quality["precision"], 5),
         "recall": round(quality["recall"], 5),
         "f1": round(quality["f1"], 5),
@@ -217,9 +235,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    load_start = os.getloadavg()
     queries = run_headline(spark)
     dedupe = run_dedupe(spark)
     kernels = run_kernels()
+    load_end = os.getloadavg()
 
     total = round(sum(queries.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -233,6 +253,13 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "dedupe": dedupe,
                 "kernels": kernels,
+                # co-tenanted host: absolute timings are only meaningful
+                # relative to the ambient load when they were taken
+                "load_avg": {
+                    "start_1m": round(load_start[0], 2),
+                    "end_1m": round(load_end[0], 2),
+                    "end_5m": round(load_end[1], 2),
+                },
             }
         )
     )

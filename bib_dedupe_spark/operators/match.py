@@ -78,16 +78,21 @@ def match(
 def match_staged(
     pairs_df: DataFrame, abstract_cutoff: float | None = None
 ) -> DataFrame:
-    """Lazy two-stage rule evaluation over the DEFAULT rule set.
+    """Lazy rule evaluation over the DEFAULT rule set — ONE linear plan.
 
-    Stage 1 (every pair): cheap sims + three flag columns —
+    Per pair: cheap sims, then five bound flags —
       _veto   exact (vetoes read no expensive sim),
       _dup_hi/_dup_lo  rule bounds with author=abstract pinned to 1/0,
       _mb_hi/_mb_lo    maybe bounds likewise.
-    Decided labels come straight off the flags; only pairs where the
-    bounds disagree are scored with the expensive kernels and re-run
-    through the exact filters. The persisted stage-1 frame is slim: the
-    pair columns + cheap sims + 5 booleans.
+    Pairs the bounds decide are labeled straight off the flags. Only the
+    undecided remainder pays the expensive author/abstract kernels: the
+    kernel inputs are GATED (non-undecided rows ship empty strings
+    through the Arrow boundary), so both transfer and compute scale with
+    the undecided fraction, and the whole match is a single projection
+    pipeline — no cache, no join-back, no union; nothing is scanned
+    twice. A pair satisfying both duplicate and maybe takes the
+    duplicate label (the CASE order), exactly like the exact path's
+    anti-join.
     """
     dup_sql = " OR ".join(rules.DUPLICATE_CONDITIONS)
     veto_fire_sql = " OR ".join(rules.NON_DUPLICATE_CONDITIONS)
@@ -99,16 +104,17 @@ def match_staged(
     # inline and constant-fold. (Gate-level factoring is skipped here:
     # most gates read author and no longer match after substitution.)
     pieces, _gates, _rw = rules.factored_rule_plan()
-    # the author/abstract `= 1.0` pieces reference sim columns that don't
-    # exist before stage 2 (and can't appear in the substituted bounds)
-    pieces = {
+    # the author/abstract `= 1.0` pieces reference sim columns that only
+    # exist after the expensive stage (and can't appear in the
+    # substituted bounds); keep them out of the stage-1 flag set
+    cheap_pieces = {
         name: sql
         for name, sql in pieces.items()
         if not rules.references_expensive(sql)
     }
 
     def _rewrite_pieces(sql: str) -> str:
-        for pname, psql in pieces.items():
+        for pname, psql in cheap_pieces.items():
             sql = sql.replace(psql, f" ({pname}) ")
         return sql
 
@@ -130,53 +136,67 @@ def match_staged(
         f"COALESCE(({_rewrite_pieces(veto_fire_sql)}), true)"
     )
 
-    cheap = sim.score_cheap(pairs_df)
-    cheap = cheap.withColumns(
-        {name: F.expr(sql) for name, sql in pieces.items()}
-    )
-    cheap = cheap.withColumns(
-        {name: F.expr(sql) for name, sql in bound_cols.items()}
-    ).drop(*pieces.keys())
-    cheap = cheap.persist(StorageLevel.MEMORY_AND_DISK)
-
     dup_possible = F.col("_dup_hi") & ~F.col("_veto")
     dup_certain = F.col("_dup_lo") & ~F.col("_veto")
 
-    certain_dup = cheap.filter(dup_certain)
-    certain_maybe = cheap.filter(
-        ~dup_possible & F.col("_mb_lo")
-    )
-    undecided = cheap.filter(
-        (dup_possible & ~dup_certain)
-        | (~dup_possible & F.col("_mb_hi") & ~F.col("_mb_lo"))
+    # Ordered decision chain, minimal bound references (each branch
+    # assumes the previous ones failed, so 'undecided' simplifies to
+    # dup_possible OR _mb_hi):
+    decision = (
+        F.when(dup_certain, F.lit(C.DUPLICATE))
+        .when(~dup_possible & F.col("_mb_lo"), F.lit(C.MAYBE))
+        .when(dup_possible | F.col("_mb_hi"), F.lit("undecided"))
+        .otherwise(F.lit(""))
     )
 
-    # stage 2: expensive sims + exact (unfactored — the remainder is
-    # small, the analysis cost is paid once) rules on the undecided pairs
-    full = sim.score_expensive(undecided, abstract_cutoff=abstract_cutoff)
-    und_dup = full.filter(F.expr(dup_sql)).filter(~F.col("_veto"))
-    und_maybe = full.filter(F.expr(maybe_sql))
+    df = sim.score_cheap(pairs_df)
+    df = df.withColumns(
+        {name: F.expr(sql) for name, sql in cheap_pieces.items()}
+    )
+    df = df.withColumns(
+        {name: F.expr(sql) for name, sql in bound_cols.items()}
+    )
+    df = df.withColumn("_decision", decision).drop(*bound_cols.keys())
+    # MATERIALIZATION BARRIER — load-bearing, not an optimization knob:
+    # PythonUDF is a plain expression, so without this persist
+    # CollapseProject inlines the (large) bound trees into every
+    # downstream reference — the expensive-stage gate, each label branch —
+    # which blows up optimizer time and has OOM'd driver-side plan
+    # transforms (cluster's per-iteration checkpoints). With the persist,
+    # _decision and the piece flags are physical attributes and every
+    # downstream tree is small. The piece flags stay cached (booleans)
+    # because the exact stage-2 label below references them.
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
-    def _edges(df: DataFrame, label: str) -> DataFrame:
-        return (
-            df.dropDuplicates(["ID_1", "ID_2"])
-            .withColumn(C.DUPLICATE_LABEL, F.lit(label))
-            .select(*EDGE_COLUMNS)
+    # expensive sims, gated: decided rows ship '' through Arrow and their
+    # outputs are never read (the label CASE hits a decided branch first)
+    df = sim.score_expensive(
+        df,
+        abstract_cutoff=abstract_cutoff,
+        gate=F.col("_decision") == "undecided",
+    )
+
+    und = F.col("_decision") == "undecided"
+    label = (
+        F.when(F.col("_decision") == C.DUPLICATE, F.lit(C.DUPLICATE))
+        .when(F.col("_decision") == C.MAYBE, F.lit(C.MAYBE))
+        .when(
+            und
+            & F.expr(_rewrite_pieces(dup_sql))
+            & ~F.expr(f"COALESCE(({_rewrite_pieces(veto_fire_sql)}), true)"),
+            F.lit(C.DUPLICATE),
         )
-
-    true_pairs = _edges(certain_dup, C.DUPLICATE).unionByName(
-        _edges(und_dup, C.DUPLICATE)
-    )
-    maybe_pairs = (
-        _edges(certain_maybe, C.MAYBE)
-        .unionByName(_edges(und_maybe, C.MAYBE))
-        .join(
-            true_pairs.select("ID_1", "ID_2"),
-            ["ID_1", "ID_2"],
-            "left_anti",
+        .when(
+            und & F.expr(_rewrite_pieces(maybe_sql)),
+            F.lit(C.MAYBE),
         )
     )
-    return true_pairs.unionByName(maybe_pairs)
+    return (
+        df.withColumn(C.DUPLICATE_LABEL, label)
+        .filter(F.col(C.DUPLICATE_LABEL).isNotNull())
+        .select(*EDGE_COLUMNS)
+        .dropDuplicates(["ID_1", "ID_2"])
+    )
 
 
 def staged_decision_stats(pairs_df: DataFrame) -> dict:

@@ -96,6 +96,7 @@ EXPENSIVE_STRUCT = StructType(
     ]
 )
 
+
 _INPUT_COLS = (
     "author_1",
     "author_2",
@@ -233,18 +234,32 @@ def score_cheap(pairs_df: DataFrame) -> DataFrame:
 
 
 def score_expensive(
-    df: DataFrame, abstract_cutoff: float | None = None
+    df: DataFrame,
+    abstract_cutoff: float | None = None,
+    gate: "F.Column | None" = None,
 ) -> DataFrame:
     """Append the author + abstract similarity columns to ``df``.
 
-    ``df`` is typically the cheap-scored frame restricted to undecided
-    pairs — the resulting frame then carries the full 10-column sim
-    vector and can be fed to the exact rule filters.
+    ``gate`` — optional boolean Column: rows where it is false ship EMPTY
+    strings through the Arrow boundary (the kernels return instantly and
+    the outputs are meaningless for those rows — the caller must not read
+    them). This is how the staged match path pays kernel + transfer cost
+    only for the bound-undecided remainder while staying one linear plan.
     """
     cutoff = _ABSTRACT_CUTOFF if abstract_cutoff is None else abstract_cutoff
     udf = _make_expensive_udf(cutoff)
-    with_struct = df.withColumn(
-        "_esims",
-        udf(F.struct(*[F.col(c) for c in _EXPENSIVE_INPUT_COLS])),
-    )
+    if gate is None:
+        inputs = F.struct(*[F.col(c) for c in _EXPENSIVE_INPUT_COLS])
+    else:
+        # ONE conditional on the whole struct — the gate expression is
+        # referenced once, so CollapseProject cannot fan its (large,
+        # rule-bound-derived) tree out into every input column
+        inputs = F.when(
+            gate, F.struct(*[F.col(c) for c in _EXPENSIVE_INPUT_COLS])
+        ).otherwise(
+            F.struct(
+                *[F.lit("").alias(c) for c in _EXPENSIVE_INPUT_COLS]
+            )
+        )
+    with_struct = df.withColumn("_esims", udf(inputs))
     return with_struct.select("*", "_esims.*").drop("_esims")

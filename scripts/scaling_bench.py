@@ -108,6 +108,17 @@ def run_at(cores: int) -> dict:
         wall = time.time() - t0
         sim_big_wall = wall if sim_big_wall is None else min(sim_big_wall, wall)
 
+    # staged decision throughput: the pipeline-default lazy path (cheap
+    # sims everywhere, expensive kernels only on bound-undecided pairs)
+    from bib_dedupe_spark.operators.match import match as match_lazy
+
+    staged_wall = None
+    for _ in range(2):
+        t0 = time.time()
+        materialize(match_lazy(big_pairs))
+        wall = time.time() - t0
+        staged_wall = wall if staged_wall is None else min(staged_wall, wall)
+
     result = {
         "cores": cores,
         "candidate_pairs": n_pairs,
@@ -119,6 +130,8 @@ def run_at(cores: int) -> dict:
         "sim_load_pairs": n_big,
         "sim_load_wall_s": round(sim_big_wall, 2),
         "sim_load_pairs_per_s": round(n_big / sim_big_wall, 1),
+        "staged_load_wall_s": round(staged_wall, 2),
+        "staged_load_pairs_per_s": round(n_big / staged_wall, 1),
     }
     spark.stop()
     return result
@@ -160,6 +173,9 @@ def main() -> None:
     eff_sim = (
         high["sim_load_pairs_per_s"] / low["sim_load_pairs_per_s"]
     ) / 4
+    eff_staged = (
+        high["staged_load_pairs_per_s"] / low["staged_load_pairs_per_s"]
+    ) / 4
     eff_e2e = (
         high["end_to_end_pairs_per_s"] / low["end_to_end_pairs_per_s"]
     ) / 4
@@ -172,6 +188,7 @@ def main() -> None:
         "run_N": low,
         "run_4N": high,
         "scaling_efficiency_sim_scoring": round(eff_sim, 3),
+        "scaling_efficiency_staged_match": round(eff_staged, 3),
         "scaling_efficiency_end_to_end": round(eff_e2e, 3),
     }
     print(json.dumps(out, indent=1))
