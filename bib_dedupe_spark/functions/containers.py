@@ -3,13 +3,13 @@
 Behavioral spec: /root/reference/bib_dedupe/prep_container_title.py:85-204
 (golden expectations in /root/reference/tests/prep_test.py:144-247).
 
-The journal-variant translation table (title_variant → canonical journal,
-~1,350 rows in the reference's ``journal_variants.csv``) is treated as an
-injectable data dependency: :func:`load_journal_variants` reads it from
-``BIB_DEDUPE_JOURNAL_VARIANTS`` (or the reference checkout when present)
-and the engine degrades gracefully to an empty mapping when neither is
-available. Entry order matters (first match wins), so the mapping is an
-ordered dict.
+The journal-variant translation table (title_variant → canonical journal;
+the reference maintains ~1,350 rows in its ``journal_variants.csv``) is an
+injectable data dependency: :func:`load_journal_variants` reads an
+explicit path or ``BIB_DEDUPE_JOURNAL_VARIANTS``, falling back to the
+engine's bundled starter table (``data/journal_variants.csv``) with a
+one-time warning — never to a reference checkout. Entry order matters
+(first match wins), so the mapping is an ordered dict.
 """
 from __future__ import annotations
 
@@ -76,9 +76,44 @@ VENUE_ABBREVIATIONS = (
 )
 
 _VARIANTS_ENV = "BIB_DEDUPE_JOURNAL_VARIANTS"
-_DEFAULT_VARIANTS_PATH = "/root/reference/bib_dedupe/journal_variants.csv"
+# engine-owned starter table, shipped with the package (original curated
+# rows; the reference maintains its own, much larger, table at
+# bib_dedupe/journal_variants.csv — point the env var at a full table for
+# corpus-grade coverage)
+_BUNDLED_VARIANTS_PATH = Path(__file__).resolve().parent.parent / "data" / "journal_variants.csv"
 
 _variants_cache: dict | None = None
+_warned_bundled = False
+
+
+def _parse_variants(lines) -> dict:
+    mapping: dict = {}
+    for row in csv.DictReader(lines):
+        variant = (row.get("title_variant") or "").lower()
+        canonical = (row.get("journal") or "").lower()
+        if variant:
+            mapping[variant] = canonical
+    return mapping
+
+
+def _read_variants_csv(p: Path) -> dict:
+    with p.open(newline="", encoding="utf-8") as fh:
+        return _parse_variants(fh)
+
+
+def _read_bundled_variants() -> dict:
+    # plain checkout first; importlib.resources covers the
+    # spark-submit --py-files zip deployment (zipimport has no real paths)
+    if _BUNDLED_VARIANTS_PATH.is_file():
+        return _read_variants_csv(_BUNDLED_VARIANTS_PATH)
+    from importlib import resources
+
+    text = (
+        resources.files("bib_dedupe_spark")
+        .joinpath("data/journal_variants.csv")
+        .read_text(encoding="utf-8")
+    )
+    return _parse_variants(text.splitlines())
 
 
 def load_journal_variants(
@@ -87,42 +122,53 @@ def load_journal_variants(
     """Ordered {title_variant_lower: canonical_journal_lower} mapping.
 
     Resolution order: explicit ``path`` arg → ``BIB_DEDUPE_JOURNAL_VARIANTS``
-    env var → the reference checkout's csv (dev convenience only;
-    prep_container_title.py:21-29 owns that file upstream). A deployed
-    engine must point the env var at its own variants table: when no file
-    resolves, behavior is controlled by ``strict`` (default: env var
-    ``BIB_DEDUPE_JOURNAL_VARIANTS_STRICT=1``) — strict raises, otherwise a
-    one-time loud warning is emitted and normalization proceeds with an
-    empty map (container titles then keep their variant spellings, which
-    can change blocking keys).
+    env var → the engine's bundled starter table. The engine carries NO
+    runtime dependency on a reference checkout.
+
+    A CONFIGURED path (arg or env) that does not exist always raises —
+    a misconfigured deployment must not silently normalize differently.
+    When nothing is configured, the bundled starter table is used with a
+    one-time warning (it covers common transliterated titles only;
+    deployments that need parity with upstream bib-dedupe should point
+    the env var at that project's full variants csv). ``strict=True`` (or
+    ``BIB_DEDUPE_JOURNAL_VARIANTS_STRICT=1``) refuses the bundled
+    fallback and raises instead.
     """
-    global _variants_cache
+    global _variants_cache, _warned_bundled
     if path is None and _variants_cache is not None:
         return _variants_cache
     if strict is None:
         strict = os.environ.get(f"{_VARIANTS_ENV}_STRICT", "") == "1"
-    candidate = path or os.environ.get(_VARIANTS_ENV) or _DEFAULT_VARIANTS_PATH
-    mapping: dict = {}
-    p = Path(candidate)
-    if p.is_file():
-        with p.open(newline="", encoding="utf-8") as fh:
-            for row in csv.DictReader(fh):
-                variant = (row.get("title_variant") or "").lower()
-                canonical = (row.get("journal") or "").lower()
-                if variant:
-                    mapping[variant] = canonical
-    else:
-        msg = (
-            f"journal-variants table not found at {candidate!r}; set "
-            f"{_VARIANTS_ENV} to your variants csv (columns: journal,"
-            " title_variant). Proceeding WITHOUT variant normalization"
-            " silently changes container-title blocking keys."
+    configured = path or os.environ.get(_VARIANTS_ENV)
+    if configured:
+        p = Path(configured)
+        if not p.is_file():
+            raise FileNotFoundError(
+                f"journal-variants table not found at {configured!r} "
+                f"(from {'the path argument' if path else _VARIANTS_ENV}); "
+                "expected a csv with columns: journal,title_variant"
+            )
+        mapping = _read_variants_csv(p)
+    elif strict:
+        raise FileNotFoundError(
+            f"no journal-variants table configured and strict mode is on; "
+            f"set {_VARIANTS_ENV} to your variants csv (columns: journal,"
+            "title_variant)"
         )
-        if strict:
-            raise FileNotFoundError(msg)
-        import warnings
+    else:
+        mapping = _read_bundled_variants()
+        if not _warned_bundled:
+            _warned_bundled = True
+            import warnings
 
-        warnings.warn(msg, UserWarning, stacklevel=2)
+            warnings.warn(
+                f"using the bundled starter journal-variants table "
+                f"({len(mapping)} entries). For corpus-grade variant "
+                f"coverage set {_VARIANTS_ENV} to a full variants csv "
+                "(columns: journal,title_variant).",
+                UserWarning,
+                stacklevel=2,
+            )
     if path is None:
         _variants_cache = mapping
     return mapping

@@ -26,7 +26,9 @@ def build(out_path: str) -> str:
             if "__pycache__" in root:
                 continue
             for name in files:
-                if not name.endswith(".py"):
+                # package data (the bundled journal-variants starter
+                # table) must ship alongside the code
+                if not (name.endswith(".py") or name.endswith(".csv")):
                     continue
                 full = os.path.join(root, name)
                 zf.write(full, os.path.relpath(full, REPO))

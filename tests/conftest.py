@@ -1,4 +1,15 @@
+import os
+from pathlib import Path
+
 import pytest
+
+# The engine ships its own starter journal-variants table and never
+# defaults to a reference checkout. The differential / golden tests use
+# the reference AS THE ORACLE, so the test harness (not the library)
+# injects the reference's full variants table to compare like with like.
+_REF_VARIANTS = Path("/root/reference/bib_dedupe/journal_variants.csv")
+if _REF_VARIANTS.is_file():
+    os.environ.setdefault("BIB_DEDUPE_JOURNAL_VARIANTS", str(_REF_VARIANTS))
 
 
 @pytest.fixture(scope="session")

@@ -75,10 +75,12 @@ def test_fix_schema_row(case):
         assert got[key] == expected, f"{case['id']}: {key}"
 
 
-def test_journal_variants_missing_is_loud(tmp_path, monkeypatch):
-    """A missing variants table must warn (default) or raise (strict),
-    never silently degrade (round-1 verdict: behavior-affecting coupling
-    to the reference checkout)."""
+def test_journal_variants_engine_owned(tmp_path, monkeypatch):
+    """The library never reads a reference checkout: a CONFIGURED path
+    that is missing raises; with nothing configured, the engine's bundled
+    starter table loads (one-time warning); strict mode refuses the
+    bundled fallback (round-2 verdict: behavior-affecting coupling to the
+    reference checkout removed from defaults)."""
     import warnings
 
     import pytest as _pytest
@@ -86,23 +88,41 @@ def test_journal_variants_missing_is_loud(tmp_path, monkeypatch):
     from bib_dedupe_spark.functions import containers
 
     missing = str(tmp_path / "nope.csv")
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        got = containers.load_journal_variants(path=missing)
-    assert got == {}
-    assert any("journal-variants table not found" in str(w.message) for w in caught)
-
+    # configured-but-missing is always an error (arg or env var)
     with _pytest.raises(FileNotFoundError, match="journal-variants"):
-        containers.load_journal_variants(path=missing, strict=True)
-
-    monkeypatch.setenv("BIB_DEDUPE_JOURNAL_VARIANTS_STRICT", "1")
-    containers._variants_cache = None
+        containers.load_journal_variants(path=missing)
     monkeypatch.setenv("BIB_DEDUPE_JOURNAL_VARIANTS", missing)
+    containers._variants_cache = None
     try:
-        with _pytest.raises(FileNotFoundError):
+        with _pytest.raises(FileNotFoundError, match="journal-variants"):
+            containers.load_journal_variants()
+
+        # nothing configured -> bundled starter table, loudly
+        monkeypatch.delenv("BIB_DEDUPE_JOURNAL_VARIANTS")
+        containers._variants_cache = None
+        containers._warned_bundled = False
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            got = containers.load_journal_variants()
+        assert got.get("british medical journal") == "bmj"
+        assert len(got) >= 30
+        assert any("bundled starter" in str(w.message) for w in caught)
+
+        # strict refuses the bundled fallback
+        containers._variants_cache = None
+        with _pytest.raises(FileNotFoundError, match="strict"):
+            containers.load_journal_variants(strict=True)
+        monkeypatch.setenv("BIB_DEDUPE_JOURNAL_VARIANTS_STRICT", "1")
+        containers._variants_cache = None
+        with _pytest.raises(FileNotFoundError, match="strict"):
             containers.load_journal_variants()
     finally:
         containers._variants_cache = None
+        containers._warned_bundled = False
+
+    # the bundled table lives inside the package, not in any checkout
+    assert containers._BUNDLED_VARIANTS_PATH.is_file()
+    assert "bib_dedupe_spark" in str(containers._BUNDLED_VARIANTS_PATH)
 
 
 def test_journal_variants_env_path(tmp_path, monkeypatch):
