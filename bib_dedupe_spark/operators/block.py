@@ -332,15 +332,29 @@ def block_delta(
     batch_prepared: DataFrame,
     corpus_keys: DataFrame,
     corpus_records: DataFrame,
+    broadcast_batch: bool = True,
+    fresh_corpus_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental blocking: batch×batch plus batch×corpus pairs ONLY.
 
     Produces exactly ``block(corpus ∪ batch)`` restricted to pairs that
     touch the batch, without touching corpus×corpus again and — the
     scale point — WITHOUT re-exploding the corpus: candidate generation
-    is an equi-join of the (small, broadcast) batch key table against the
-    persisted ``corpus_keys`` index. At 10^12 corpus rows each micro-batch
-    costs O(|batch| + matching key groups), not O(|corpus|).
+    is an equi-join of the batch key table against the persisted
+    ``corpus_keys`` index. At 10^12 corpus rows each micro-batch costs
+    O(|batch| + matching key groups), not O(|corpus|).
+
+    ``broadcast_batch=True`` (micro-batch default) hints the batch side
+    broadcast — zero exchange anywhere. For LARGE batches (backfills)
+    pass ``broadcast_batch=False`` and point ``corpus_keys`` at the
+    compacted (rule_idx, key)-bucketed table
+    (sources.io.compact_corpus_index): the sort-merge join then reads the
+    index's buckets directly and exchanges ONLY the batch side — the
+    index, the 10^12-row side, never shuffles (pinned by
+    tests/test_streaming.py plan assertion). ``fresh_corpus_keys`` holds
+    the small post-compaction parquet appends; they join separately
+    (batch side broadcast) so their union does not erase the bucketed
+    table's exchange-free property.
 
     Skew note: no salting is needed here — the quadratic k² blowup of
     full blocking cannot occur (one side is the batch); a pathological
@@ -358,22 +372,27 @@ def block_delta(
         F.col("ID_1") < F.col("ID_2")
     )
 
-    crossing = (
-        F.broadcast(batch_keys)
-        .join(
-            corpus_keys.select(
-                F.col(C.ID).alias("_cid"), "rule_idx", "key"
-            ),
-            ["rule_idx", "key"],
+    def _crossing(index_df: DataFrame, hint_broadcast: bool) -> DataFrame:
+        probe = F.broadcast(batch_keys) if hint_broadcast else batch_keys
+        return (
+            probe.join(
+                index_df.select(
+                    F.col(C.ID).alias("_cid"), "rule_idx", "key"
+                ),
+                ["rule_idx", "key"],
+            )
+            .filter(F.col(C.ID) != F.col("_cid"))
+            .select(
+                F.least(C.ID, "_cid").alias("ID_1"),
+                F.greatest(C.ID, "_cid").alias("ID_2"),
+                "rule_idx",
+                "rto",
+            )
         )
-        .filter(F.col(C.ID) != F.col("_cid"))
-        .select(
-            F.least(C.ID, "_cid").alias("ID_1"),
-            F.greatest(C.ID, "_cid").alias("ID_2"),
-            "rule_idx",
-            "rto",
-        )
-    )
+
+    crossing = _crossing(corpus_keys, broadcast_batch)
+    if fresh_corpus_keys is not None:
+        crossing = crossing.unionByName(_crossing(fresh_corpus_keys, True))
 
     raw_pairs = within.select("ID_1", "ID_2", "rule_idx", "rto").unionByName(
         crossing

@@ -136,10 +136,23 @@ def compact_corpus_index(
     one small parquet append per micro-batch; periodically compacting it
     into a table bucketed on the join key (rule_idx, key) both fixes the
     small-files problem and makes the non-broadcast candidate join
-    exchange-free on the (big) index side. Re-point ``block_delta`` at
-    ``spark.table(table)`` afterwards.
+    exchange-free on the (big) index side.
+
+    A ``_compaction.json`` manifest (underscore-prefixed: invisible to
+    Spark's parquet reader) is written into ``keys_path`` recording the
+    table name and the highest ``_batch`` id folded in —
+    ``link_batch`` reads it to consume the bucketed table plus only the
+    NEWER parquet appends. Returns the manifest dict. Run compaction only
+    while the linkage stream is stopped (a retry of a batch that was
+    compacted mid-flight would double-count its keys).
     """
+    import json
+    from pathlib import Path
+
     df = spark.read.parquet(keys_path)
+    max_batch = -1
+    if "_batch" in df.columns:
+        max_batch = df.agg({"_batch": "max"}).first()[0]
     (
         df.repartition(buckets, "rule_idx", "key")
         .write.mode("overwrite")
@@ -148,3 +161,6 @@ def compact_corpus_index(
         .format("parquet")
         .saveAsTable(table)
     )
+    manifest = {"table": table, "max_batch": int(max_batch)}
+    (Path(keys_path) / "_compaction.json").write_text(json.dumps(manifest))
+    return manifest

@@ -116,6 +116,32 @@ def stream_stateful_first_seen(
     )
 
 
+def _resolve_corpus_index(spark, keys_path: str, batch_id: int):
+    """(bulk_keys, fresh_keys_or_None) for delta blocking.
+
+    With no compaction manifest: the whole parquet index (minus the
+    current batch's own partition). With one: the bucketed table as the
+    bulk side plus only the appends NEWER than the compaction watermark —
+    the shape block_delta keeps exchange-free on the bulk side.
+    """
+    import json
+    from pathlib import Path
+
+    manifest_file = Path(keys_path) / "_compaction.json"
+    raw = spark.read.parquet(keys_path).filter(F.col("_batch") != batch_id)
+    if not manifest_file.is_file():
+        return raw, None
+    manifest = json.loads(manifest_file.read_text())
+    table = manifest["table"]
+    if not spark.catalog.tableExists(table):
+        return raw, None
+    bulk = spark.table(table)
+    if "_batch" in bulk.columns:
+        bulk = bulk.filter(F.col("_batch") != batch_id)
+    fresh = raw.filter(F.col("_batch") > manifest["max_batch"])
+    return bulk, fresh
+
+
 def link_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -185,12 +211,19 @@ def link_batch(
         # delta blocking against the persisted key INDEX: candidate
         # generation is batch-keys (broadcast) ⋈ corpus_keys — the
         # corpus is never re-exploded, and corpus-internal pairs
-        # (handled by earlier batches) are never regenerated
-        corpus_keys = spark.read.parquet(keys_path).filter(
-            F.col("_batch") != batch_id
+        # (handled by earlier batches) are never regenerated. When a
+        # compaction manifest exists, the bulk of the index comes from
+        # the (rule_idx, key)-bucketed table and only the newer appends
+        # are read from parquet (small-files fix + exchange-free join
+        # shape for non-broadcast batches).
+        corpus_keys, fresh_keys = _resolve_corpus_index(
+            spark, keys_path, batch_id
         )
         pairs = block_delta(
-            prepared_batch, corpus_keys, corpus.drop("_batch")
+            prepared_batch,
+            corpus_keys,
+            corpus.drop("_batch"),
+            fresh_corpus_keys=fresh_keys,
         )
     else:
         pairs = block(prepared_batch, max_block_size=max_block_size)

@@ -84,3 +84,125 @@ def test_compact_corpus_index(spark, tmp_path):
     }
     assert got == want
     spark.sql("DROP TABLE IF EXISTS corpus_index_test")
+
+
+def _exchange_count(df) -> int:
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue().count("Exchange hashpartitioning")
+
+
+def test_delta_candidate_join_bucketed_no_index_exchange(spark, tmp_path):
+    """With a non-broadcast batch, the candidate join against the
+    compacted (rule_idx, key)-bucketed index must NOT exchange the index
+    side — the 10^12-row side of the incremental-linkage join. Pinned by
+    comparing Exchange counts against the identical plan over plain
+    parquet (one fewer), with auto-broadcast disabled so the join is a
+    real shuffle join both times."""
+    import pandas as pd
+
+    from bib_dedupe_spark import prep
+    from bib_dedupe_spark.operators.block import block_delta, corpus_key_table
+    from bib_dedupe_spark.sources.io import compact_corpus_index
+    from bib_dedupe_spark.sources.synthetic import generate
+
+    records, _ = generate(n_base=80, seed=43)
+    corpus = prep(spark.createDataFrame(pd.DataFrame(records[:60])))
+    batch = prep(
+        spark.createDataFrame(pd.DataFrame(records[60:])), validate=False
+    )
+    keys_path = str(tmp_path / "keys")
+    corpus_key_table(corpus).write.mode("overwrite").parquet(
+        keys_path + "/_batch=0"
+    )
+    spark.sql("DROP TABLE IF EXISTS corpus_index_bx")
+    manifest = compact_corpus_index(
+        spark, keys_path, "corpus_index_bx", buckets=8
+    )
+    assert manifest == {"table": "corpus_index_bx", "max_batch": 0}
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed_plan = block_delta(
+            batch,
+            spark.table("corpus_index_bx").drop("_batch"),
+            corpus,
+            broadcast_batch=False,
+        )
+        plain_plan = block_delta(
+            batch,
+            spark.read.parquet(keys_path).drop("_batch"),
+            corpus,
+            broadcast_batch=False,
+        )
+        n_bucketed = _exchange_count(bucketed_plan)
+        n_plain = _exchange_count(plain_plan)
+        assert n_bucketed == n_plain - 1, (n_bucketed, n_plain)
+        # and the pair sets are identical
+        got = {
+            (r["ID_1"], r["ID_2"])
+            for r in bucketed_plan.select("ID_1", "ID_2").collect()
+        }
+        want = {
+            (r["ID_1"], r["ID_2"])
+            for r in plain_plan.select("ID_1", "ID_2").collect()
+        }
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS corpus_index_bx")
+
+
+def test_link_batch_consumes_compaction_manifest(spark, tmp_path):
+    """After compact_corpus_index, _resolve_corpus_index returns the
+    bucketed table as bulk plus only post-watermark appends, and
+    block_delta over (bulk, fresh) equals the plain full-index delta."""
+    import pandas as pd
+
+    from bib_dedupe_spark import prep
+    from bib_dedupe_spark.operators.block import block_delta, corpus_key_table
+    from bib_dedupe_spark.sources.io import compact_corpus_index
+    from bib_dedupe_spark.sources.synthetic import generate
+    from bib_dedupe_spark.streaming.dedup_stream import _resolve_corpus_index
+
+    records, _ = generate(n_base=90, seed=44)
+    c1 = prep(spark.createDataFrame(pd.DataFrame(records[:40])))
+    c2 = prep(
+        spark.createDataFrame(pd.DataFrame(records[40:70])), validate=False
+    )
+    batch = prep(
+        spark.createDataFrame(pd.DataFrame(records[70:])), validate=False
+    )
+    keys_path = str(tmp_path / "keys")
+    corpus_key_table(c1).write.mode("overwrite").parquet(keys_path + "/_batch=0")
+
+    spark.sql("DROP TABLE IF EXISTS corpus_index_mf")
+    compact_corpus_index(spark, keys_path, "corpus_index_mf", buckets=8)
+    # a post-compaction append (batch 1)
+    corpus_key_table(c2).write.mode("overwrite").parquet(keys_path + "/_batch=1")
+
+    bulk, fresh = _resolve_corpus_index(spark, keys_path, batch_id=2)
+    assert fresh is not None
+    # fresh holds ONLY the post-watermark append
+    assert fresh.select("ID").distinct().count() == c2.select("ID").distinct().count()
+
+    corpus_all = c1.unionByName(c2)
+    got = {
+        (r["ID_1"], r["ID_2"])
+        for r in block_delta(
+            batch, bulk.drop("_batch"), corpus_all,
+            fresh_corpus_keys=fresh.drop("_batch"),
+        ).select("ID_1", "ID_2").collect()
+    }
+    want = {
+        (r["ID_1"], r["ID_2"])
+        for r in block_delta(
+            batch,
+            spark.read.parquet(keys_path).drop("_batch"),
+            corpus_all,
+        ).select("ID_1", "ID_2").collect()
+    }
+    assert got == want and got
+    spark.sql("DROP TABLE IF EXISTS corpus_index_mf")
