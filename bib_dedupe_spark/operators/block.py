@@ -10,11 +10,15 @@ groupby/combinations):
   prepared records
     → per-record ARRAY of (rule_idx, composite key) entries, one per
       blocking rule whose fields are all non-empty        (explode, no UDF)
+      + (title, tokens, search_set) pruning payload per key row
     → hash-partitioned self-equi-join on (rule_idx, key) with ID_1 < ID_2
+    → INLINE pruning on the join output (same stage, no extra joins):
+      same-search-set rows dropped; title-overlap verdict computed as a
+      boolean (applies only when every producing rule requires overlap)
     → groupBy(ID_1, ID_2): first rule by rule order, AND of the
-      require-title-overlap flags                          (single shuffle)
-    → two enrichment joins against the records
-    → native title-overlap + same-search-set pruning filters
+      require-title-overlap flags, overlap verdict        (single shuffle)
+    → filter(title_ok | !require)  — raw pairs never reach a record join
+    → two enrichment joins against the records (survivors only)
 
 Skew handling: composite keys are explicit columns, so hot keys are
 observable; keys whose group exceeds ``max_block_size`` are dropped from
@@ -91,14 +95,79 @@ def _key_entries_column():
     return F.array_compact(F.array(*entries))
 
 
+_CARRY = ("_title", "_tok", "_ss")
+
+
+def _carry_columns():
+    """Per-record pruning payload carried through the key table."""
+    title = F.col(C.TITLE)
+    return [
+        title.alias("_title"),
+        F.filter(F.split(title, " "), lambda x: x != "").alias("_tok"),
+        F.col(C.SEARCH_SET).alias("_ss"),
+    ]
+
+
+def _inline_prune_flags(df: DataFrame) -> DataFrame:
+    """ss-prune rows out; compute the pair-level title-overlap verdict.
+
+    Both pruning predicates are PAIR-level and rule-independent, so they
+    evaluate on the self-join output itself (map-side, same stage as the
+    join) instead of on separate record joins after aggregation: the raw
+    pair stream shrinks before it ever hits the distinct shuffle, and the
+    surviving pairs reach enrichment already pruned. The search-set drop
+    removes whole pairs (every row of a pair agrees); the title verdict
+    is carried as one boolean because whether it APPLIES depends on the
+    aggregated require-title-overlap flag (AND over producing rules) —
+    attribution still sees every producing rule, exactly like the
+    reference's prune-after-dedupe order (block.py:152-198,272-276).
+    """
+    for side in ("1", "2"):
+        if f"_tok_{side}" not in df.columns:
+            df = df.withColumn(
+                f"_tok_{side}",
+                F.filter(
+                    F.split(F.col(f"_title_{side}"), " "), lambda x: x != ""
+                ),
+            )
+    t1, t2 = F.col("_title_1"), F.col("_title_2")
+    exempt = (t1 == t2) | (~t1.contains(" ")) | (~t2.contains(" "))
+    shared = F.size(F.array_intersect("_tok_1", "_tok_2"))
+    denom = F.least(F.size("_tok_1") + 1, F.size("_tok_2") + 1)
+    both_empty = (F.length(t1) + F.length(t2)) == 0
+    low_overlap = F.when(both_empty, F.lit(True)).otherwise(
+        (shared / denom) < 0.5
+    )
+    return (
+        df.filter(
+            ~(
+                (F.col("_ss_1") == F.col("_ss_2"))
+                & (F.col("_ss_1") != "")
+            )
+        )
+        .withColumn("_title_ok", exempt | ~low_overlap)
+        .select("ID_1", "ID_2", "rule_idx", "rto", "_title_ok")
+    )
+
+
 def candidate_pairs(
     records_df: DataFrame,
     max_block_size: int | None = 1000,
     cache: bool = True,
     hot_key_strategy: str = "salt",
+    prune: bool = False,
 ) -> DataFrame:
-    """Distinct candidate pairs (ID_1 < ID_2) with first-rule attribution
-    and the aggregated require-title-overlap flag.
+    """Distinct candidate pairs (ID_1 < ID_2) with first-rule attribution.
+
+    ``prune=False`` returns (ID_1, ID_2, rule_idx, require_title_overlap)
+    — the raw aggregated pair table. ``prune=True`` (the block()/
+    block_delta() path) additionally applies the search-set and
+    title-overlap prunes INLINE: the key table carries each record's
+    (title, tokens, search_set), the flags evaluate on the self-join
+    output map-side, and the returned (ID_1, ID_2, rule_idx) table is
+    already pruned — candidates never pay post-aggregation record joins
+    just to be discarded (at 155k records that is 71M raw pairs pruned
+    to ~1.5M).
 
     Hot-key skew: a blocking key shared by k records implies O(k²) pairs.
     With ``hot_key_strategy="salt"`` (default), keys whose group exceeds
@@ -112,11 +181,13 @@ def candidate_pairs(
     The exploded key table feeds several consumers; ``cache`` persists it
     so the upstream prep UDF pass runs once.
     """
+    carry = _carry_columns() if prune else []
     keys = (
         records_df.filter(F.col(C.TITLE).isNotNull())
-        .select(C.ID, F.explode(_key_entries_column()).alias("entry"))
+        .select(C.ID, *carry, F.explode(_key_entries_column()).alias("entry"))
         .select(
             C.ID,
+            *(_CARRY if prune else ()),
             F.col("entry.rule_idx").alias("rule_idx"),
             F.col("entry.rto").alias("rto"),
             F.col("entry.key").alias("key"),
@@ -127,12 +198,24 @@ def candidate_pairs(
 
         keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
 
+    def _sided(df: DataFrame, side: str, cols: tuple) -> DataFrame:
+        renames = {C.ID: f"ID_{side}"}
+        if prune:
+            renames.update({c: f"{c}_{side}" for c in _CARRY})
+        out = df
+        for old, new in renames.items():
+            out = out.withColumnRenamed(old, new)
+        return out.select(f"ID_{side}", *cols,
+                          *(f"{c}_{side}" for c in (_CARRY if prune else ())))
+
     hot_pairs = None
     if max_block_size is not None:
         counts = keys.groupBy("rule_idx", "key").agg(
             F.count("*").alias("_block_n")
         )
-        hot = counts.filter(F.col("_block_n") > max_block_size)
+        # persist: the hot table feeds BOTH the anti-join and the salt
+        # join; without it each broadcast re-runs the full key aggregation
+        hot = counts.filter(F.col("_block_n") > max_block_size).persist()
         keys_cold = keys.join(
             F.broadcast(hot.select("rule_idx", "key")),
             ["rule_idx", "key"],
@@ -151,57 +234,78 @@ def candidate_pairs(
             # left side replicated toward every bucket ≥ its own: pair
             # (a, b) with buckets i ≤ j is produced exactly once, by a's
             # (or both's, when i == j) replica targeting bucket j
-            salted_left = salted.withColumn(
-                "_to",
-                F.explode(
-                    F.sequence(F.col("_salt"), n_buckets - 1)
+            salted_left = _sided(
+                salted.withColumn(
+                    "_to",
+                    F.explode(F.sequence(F.col("_salt"), n_buckets - 1)),
                 ),
-            ).select(
-                F.col(C.ID).alias("_id_l"), "rule_idx", "rto", "key", "_to"
+                "l",
+                ("rule_idx", "rto", "key", "_to"),
             )
-            salted_right = salted.select(
-                F.col(C.ID).alias("_id_r"),
-                "rule_idx",
-                "key",
-                F.col("_salt").alias("_to"),
+            salted_right = _sided(
+                salted.withColumn("_to", F.col("_salt")),
+                "r",
+                ("rule_idx", "key", "_to"),
             )
-            hot_pairs = (
+            hot_raw = (
                 salted_left.join(salted_right, ["rule_idx", "key", "_to"])
-                .filter(F.col("_id_l") != F.col("_id_r"))
-                .select(
-                    F.least("_id_l", "_id_r").alias("ID_1"),
-                    F.greatest("_id_l", "_id_r").alias("ID_2"),
-                    "rule_idx",
-                    "rto",
-                )
+                .filter(F.col("ID_l") != F.col("ID_r"))
             )
+            swap = F.col("ID_l") > F.col("ID_r")
+            hot_cols = [
+                F.least("ID_l", "ID_r").alias("ID_1"),
+                F.greatest("ID_l", "ID_r").alias("ID_2"),
+                F.col("rule_idx"),
+                F.col("rto"),
+            ]
+            if prune:
+                for c in _CARRY:
+                    hot_cols.append(
+                        F.when(swap, F.col(f"{c}_r")).otherwise(
+                            F.col(f"{c}_l")
+                        ).alias(f"{c}_1")
+                    )
+                    hot_cols.append(
+                        F.when(swap, F.col(f"{c}_l")).otherwise(
+                            F.col(f"{c}_r")
+                        ).alias(f"{c}_2")
+                    )
+            hot_pairs = hot_raw.select(*hot_cols)
         keys = keys_cold
 
-    left = keys.select(
-        F.col(C.ID).alias("ID_1"),
-        "rule_idx",
-        "rto",
-        "key",
+    left = _sided(keys, "1", ("rule_idx", "rto", "key"))
+    right = _sided(keys, "2", ("rule_idx", "key"))
+    raw_pairs = (
+        left.join(right, ["rule_idx", "key"])
+        .filter(F.col("ID_1") < F.col("ID_2"))
+        .select(
+            "ID_1", "ID_2", "rule_idx", "rto",
+            *(f"{c}_{s}" for c in (_CARRY if prune else ()) for s in ("1", "2")),
+        )
     )
-    right = keys.select(F.col(C.ID).alias("ID_2"), "rule_idx", "key")
-    raw_pairs = left.join(right, ["rule_idx", "key"]).filter(
-        F.col("ID_1") < F.col("ID_2")
-    ).select("ID_1", "ID_2", "rule_idx", "rto")
     if hot_pairs is not None:
         raw_pairs = raw_pairs.unionByName(hot_pairs)
+
+    if prune:
+        raw_pairs = _inline_prune_flags(raw_pairs)
 
     # one pair per (ID_1, ID_2): earliest rule wins the attribution,
     # overlap required only if EVERY producing rule required it
     # (block.py:272-276)
-    return (
-        raw_pairs.groupBy("ID_1", "ID_2")
-        .agg(
-            F.min("rule_idx").alias("rule_idx"),
-            F.min(F.col("rto").cast("int")).cast("boolean").alias(
-                "require_title_overlap"
-            ),
-        )
-    )
+    aggs = [
+        F.min("rule_idx").alias("rule_idx"),
+        F.min(F.col("rto").cast("int")).cast("boolean").alias(
+            "require_title_overlap"
+        ),
+    ]
+    if prune:
+        aggs.append(F.first("_title_ok").alias("_title_ok"))
+    grouped = raw_pairs.groupBy("ID_1", "ID_2").agg(*aggs)
+    if prune:
+        grouped = grouped.filter(
+            F.col("_title_ok") | ~F.col("require_title_overlap")
+        ).select("ID_1", "ID_2", "rule_idx")
+    return grouped
 
 
 def blocking_key_stats(records_df: DataFrame) -> DataFrame:
@@ -213,60 +317,13 @@ def blocking_key_stats(records_df: DataFrame) -> DataFrame:
     )
 
 
-def _tokens(col_name: str):
-    return F.filter(F.split(F.col(col_name), " "), lambda x: x != "")
+def _enrich(pruned_pairs: DataFrame, records_df: DataFrame) -> DataFrame:
+    """Wide enrichment of ALREADY-PRUNED (ID_1, ID_2, rule_idx) pairs.
 
-
-def _title_overlap_keep():
-    """Keep-predicate of the title-overlap pruning (block.py:152-198)."""
-    t1 = F.col("title_1")
-    t2 = F.col("title_2")
-    exempt = (
-        (t1 == t2) | (~t1.contains(" ")) | (~t2.contains(" "))
-    )
-    tok1 = _tokens("title_1")
-    tok2 = _tokens("title_2")
-    shared = F.size(F.array_intersect(tok1, tok2))
-    denom = F.least(F.size(tok1) + 1, F.size(tok2) + 1)
-    both_empty = (F.length(t1) + F.length(t2)) == 0
-    low_overlap = F.when(both_empty, F.lit(True)).otherwise(
-        (shared / denom) < 0.5
-    )
-    require = F.col("require_title_overlap") & ~exempt
-    return ~(require & low_overlap)
-
-
-def _prune_and_enrich(pairs: DataFrame, records_df: DataFrame) -> DataFrame:
-    """Shared tail of the blocking stage: prune cheaply, then enrich.
-
-    Prune BEFORE the wide enrichment: both filters need only
-    (title, search_set), and pruning typically drops the vast majority
-    of candidates — enriching 35 columns first would shuffle orders of
-    magnitude more bytes for rows that are about to be discarded.
+    Pruning happened inline in candidate generation (see
+    :func:`candidate_pairs` prune=True), so only surviving pairs — a tiny
+    fraction of raw candidates — pay the two 35-column record joins.
     """
-    slim_1 = records_df.select(
-        F.col(C.ID).alias("ID_1"),
-        F.col(C.TITLE).alias("title_1"),
-        F.col(C.SEARCH_SET).alias("search_set_1"),
-    )
-    slim_2 = records_df.select(
-        F.col(C.ID).alias("ID_2"),
-        F.col(C.TITLE).alias("title_2"),
-        F.col(C.SEARCH_SET).alias("search_set_2"),
-    )
-    surviving = (
-        pairs.join(slim_1, "ID_1")
-        .join(slim_2, "ID_2")
-        .filter(_title_overlap_keep())
-        .filter(
-            ~(
-                (F.col("search_set_1") == F.col("search_set_2"))
-                & (F.col("search_set_1") != "")
-            )
-        )
-        .select("ID_1", "ID_2", "rule_idx")
-    )
-
     rule_names = F.array(
         *[F.lit(rule_name(fields)) for fields, _ in BLOCKING_RULES]
     )
@@ -278,7 +335,7 @@ def _prune_and_enrich(pairs: DataFrame, records_df: DataFrame) -> DataFrame:
     )
 
     enriched = (
-        surviving.join(left_rec, "ID_1", "left")
+        pruned_pairs.join(left_rec, "ID_1", "left")
         .join(right_rec, "ID_2", "left")
         .withColumn(C.BLOCK_RULE, rule_names[F.col("rule_idx")])
     )
@@ -304,26 +361,36 @@ def block(
         records_df = records_df.persist(StorageLevel.MEMORY_AND_DISK)
 
     pairs = candidate_pairs(
-        records_df, max_block_size=max_block_size, cache=cache
+        records_df, max_block_size=max_block_size, cache=cache, prune=True
     )
-    return _prune_and_enrich(pairs, records_df)
+    return _enrich(pairs, records_df)
 
 
 def corpus_key_table(prepared_df: DataFrame) -> DataFrame:
-    """Exploded blocking-key index DataFrame[ID, rule_idx, rto, key].
+    """Exploded blocking-key index
+    DataFrame[ID, rule_idx, rto, key, title, search_set].
 
     The persistable index for incremental (delta) blocking: computing it
     once per record when the record ENTERS the corpus replaces
-    re-exploding the whole corpus every micro-batch.
+    re-exploding the whole corpus every micro-batch. The (title,
+    search_set) payload lets block_delta prune candidates inline on the
+    join output without a record join.
     """
     return (
         prepared_df.filter(F.col(C.TITLE).isNotNull())
-        .select(C.ID, F.explode(_key_entries_column()).alias("entry"))
+        .select(
+            C.ID,
+            C.TITLE,
+            C.SEARCH_SET,
+            F.explode(_key_entries_column()).alias("entry"),
+        )
         .select(
             C.ID,
             F.col("entry.rule_idx").alias("rule_idx"),
             F.col("entry.rto").alias("rto"),
             F.col("entry.key").alias("key"),
+            C.TITLE,
+            C.SEARCH_SET,
         )
     )
 
@@ -364,47 +431,77 @@ def block_delta(
     """
     batch_keys = corpus_key_table(batch_prepared)
 
-    left = batch_keys.select(
-        F.col(C.ID).alias("ID_1"), "rule_idx", "rto", "key"
-    )
-    right = batch_keys.select(F.col(C.ID).alias("ID_2"), "rule_idx", "key")
-    within = left.join(right, ["rule_idx", "key"]).filter(
-        F.col("ID_1") < F.col("ID_2")
+    def _side(df: DataFrame, side: str, with_rto: bool) -> DataFrame:
+        cols = [
+            F.col(C.ID).alias(f"ID_{side}"),
+            F.col("rule_idx"),
+            F.col("key"),
+            F.col(C.TITLE).alias(f"_title_{side}"),
+            F.col(C.SEARCH_SET).alias(f"_ss_{side}"),
+        ]
+        if with_rto:
+            cols.insert(2, F.col("rto"))
+        return df.select(*cols)
+
+    within = (
+        _side(batch_keys, "1", True)
+        .join(_side(batch_keys, "2", False), ["rule_idx", "key"])
+        .filter(F.col("ID_1") < F.col("ID_2"))
+        .select("ID_1", "ID_2", "rule_idx", "rto", "_title_1", "_title_2",
+                "_ss_1", "_ss_2")
     )
 
     def _crossing(index_df: DataFrame, hint_broadcast: bool) -> DataFrame:
         probe = F.broadcast(batch_keys) if hint_broadcast else batch_keys
-        return (
-            probe.join(
-                index_df.select(
-                    F.col(C.ID).alias("_cid"), "rule_idx", "key"
-                ),
-                ["rule_idx", "key"],
-            )
-            .filter(F.col(C.ID) != F.col("_cid"))
-            .select(
-                F.least(C.ID, "_cid").alias("ID_1"),
-                F.greatest(C.ID, "_cid").alias("ID_2"),
+        joined = probe.join(
+            index_df.select(
+                F.col(C.ID).alias("_cid"),
                 "rule_idx",
-                "rto",
-            )
+                "key",
+                F.col(C.TITLE).alias("_ctitle"),
+                F.col(C.SEARCH_SET).alias("_css"),
+            ),
+            ["rule_idx", "key"],
+        ).filter(F.col(C.ID) != F.col("_cid"))
+        swap = F.col(C.ID) > F.col("_cid")
+        return joined.select(
+            F.least(C.ID, "_cid").alias("ID_1"),
+            F.greatest(C.ID, "_cid").alias("ID_2"),
+            "rule_idx",
+            "rto",
+            F.when(swap, F.col("_ctitle")).otherwise(F.col(C.TITLE)).alias(
+                "_title_1"
+            ),
+            F.when(swap, F.col(C.TITLE)).otherwise(F.col("_ctitle")).alias(
+                "_title_2"
+            ),
+            F.when(swap, F.col("_css")).otherwise(F.col(C.SEARCH_SET)).alias(
+                "_ss_1"
+            ),
+            F.when(swap, F.col(C.SEARCH_SET)).otherwise(F.col("_css")).alias(
+                "_ss_2"
+            ),
         )
 
     crossing = _crossing(corpus_keys, broadcast_batch)
     if fresh_corpus_keys is not None:
         crossing = crossing.unionByName(_crossing(fresh_corpus_keys, True))
 
-    raw_pairs = within.select("ID_1", "ID_2", "rule_idx", "rto").unionByName(
-        crossing
-    )
-    pairs = raw_pairs.groupBy("ID_1", "ID_2").agg(
-        F.min("rule_idx").alias("rule_idx"),
-        F.min(F.col("rto").cast("int")).cast("boolean").alias(
-            "require_title_overlap"
-        ),
+    raw_pairs = _inline_prune_flags(within.unionByName(crossing))
+    pairs = (
+        raw_pairs.groupBy("ID_1", "ID_2")
+        .agg(
+            F.min("rule_idx").alias("rule_idx"),
+            F.min(F.col("rto").cast("int")).cast("boolean").alias(
+                "require_title_overlap"
+            ),
+            F.first("_title_ok").alias("_title_ok"),
+        )
+        .filter(F.col("_title_ok") | ~F.col("require_title_overlap"))
+        .select("ID_1", "ID_2", "rule_idx")
     )
 
     all_records = corpus_records.unionByName(
         batch_prepared.select(*corpus_records.columns)
     ).filter(F.col(C.TITLE).isNotNull())
-    return _prune_and_enrich(pairs, all_records)
+    return _enrich(pairs, all_records)
