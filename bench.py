@@ -205,10 +205,16 @@ def run_kernels() -> dict:
     cutoff = MIN_ABSTRACT_SIM_THRESHOLD * 100
     a, b = text(900, 1), text(1400, 2)
     a2, b2 = text(1500, 3), text(2500, 4)
+    sl1, sl2 = text(1460, 11), text(1500, 12)
     x, y = text(400, 21), text(430, 22)
     return {
         "abstract_dissimilar_900x1400_ms": best_ms(
             lambda: similarity.sim_abstract(a, b, partial_cutoff=cutoff)
+        ),
+        # the adversarial same-length shape: few windows, long needle —
+        # bisection + edge-skip bound (round-3) keep it in single digits
+        "abstract_dissimilar_samelen_1460x1500_ms": best_ms(
+            lambda: similarity.sim_abstract(sl1, sl2, partial_cutoff=cutoff)
         ),
         "abstract_dissimilar_1500x2500_ms": best_ms(
             lambda: similarity.sim_abstract(a2, b2, partial_cutoff=cutoff)

@@ -209,6 +209,135 @@ def _prefix_scan_best(
     return best
 
 
+def _bisect_interior(
+    masks: dict, len1: int, haystack: str, n_win: int, cutoff: float
+) -> tuple:
+    """(best_sim, lcs_win0, lcs_last) by branch-and-bound bisection.
+
+    For few-windows-long-needle shapes, each exact single-window scan
+    costs ~len1 big-int steps, so the cheapest exact strategy is to
+    evaluate window endpoints and recursively split only intervals whose
+    Lipschitz bound (lcs_lo + lcs_hi + width) / 2 can still beat
+    max(best, cutoff·len1). Dissimilar landscapes collapse after the two
+    endpoint evals; flat-high landscapes degrade to evaluating every
+    window — no worse than the plain loop. All evals are EXACT (no
+    floor-abort), so the endpoint values double as the edge-scan bound.
+    """
+    cache: dict = {}
+
+    def ev(i: int) -> int:
+        if i not in cache:
+            cache[i] = _lcs_single(masks, len1, haystack, i)
+        return cache[i]
+
+    best_lcs = max(ev(0), ev(n_win - 1))
+    if best_lcs < len1:
+        stack = [(0, n_win - 1)]
+        while stack:
+            lo, hi = stack.pop()
+            if hi - lo <= 1:
+                continue
+            if ev(lo) + ev(hi) + (hi - lo) <= 2.0 * max(
+                best_lcs, cutoff * len1
+            ):
+                continue
+            mid = (lo + hi) // 2
+            m = ev(mid)
+            if m > best_lcs:
+                best_lcs = m
+                if best_lcs == len1:
+                    break
+            stack.append((lo, mid))
+            stack.append((mid, hi))
+    return best_lcs / len1, cache[0], cache[n_win - 1]
+
+
+def _edge_scan_bound(len1: int, lcs_window: int) -> float:
+    """Upper bound on any edge-window sim hanging off one end.
+
+    Every prefix window haystack[:i] (i < len1) is a substring of the
+    FIRST full window, and every suffix window a substring of the LAST,
+    so their LCS is ≤ that window's exact LCS L; with sim_i =
+    2·min(i, L)/(len1 + i) maximized at i = L, the whole edge family is
+    bounded by 2L/(len1 + L). When that cannot beat max(best, cutoff),
+    the edge scan is skipped — lossless.
+    """
+    return 2.0 * lcs_window / (len1 + lcs_window)
+
+
+def _coarse_then_runs(
+    masks: dict,
+    len1: int,
+    haystack: str,
+    n_win: int,
+    K: int,
+    cutoff: float,
+) -> tuple:
+    """(best_sim, lcs_win0, lcs_last): anchors + Lipschitz block pruning.
+
+    Lossless for ANY stride K: blocks are skipped only when the bound
+    (lcs_a + lcs_b + (b - a)) / 2 proves their maximum cannot beat
+    max(best-so-far, cutoff) — skipping vs best-so-far never changes the
+    returned max; skipping vs cutoff only hides values the contract
+    already allows to be lower bounds.
+    """
+    n_coarse = (n_win - 1) // K + 1
+    coarse_idx = [s * K for s in range(n_coarse)]
+    lcs_at = dict(
+        zip(coarse_idx, _packed_scan(masks, len1, haystack, 0, n_coarse, K))
+    )
+    last = n_win - 1
+    if last not in lcs_at:
+        lcs_at[last] = _lcs_single(masks, len1, haystack, last)
+    anchors = sorted(lcs_at)
+    best = max(lcs_at.values()) / len1
+    if best == 1.0:
+        return 1.0, lcs_at[0], lcs_at[last]
+
+    # keep blocks whose Lipschitz bound can still beat the target:
+    # lcs_j ≤ min(lcs_a + (j-a), lcs_b + (b-j)) for a<j<b, so the
+    # block max is bounded by (lcs_a + lcs_b + (b-a)) / 2
+    thresh2x = 2.0 * max(best, cutoff) * len1
+    survivors = [
+        (a, b)
+        for a, b in zip(anchors, anchors[1:])
+        if b - a > 1 and lcs_at[a] + lcs_at[b] + (b - a) > thresh2x
+    ]
+    if survivors:
+        # merge adjacent/nearby blocks into maximal stride-1 runs
+        # (evaluating the few anchor windows again is cheaper than
+        # paying per-run packed-mask assembly for fragmented runs)
+        runs = []
+        cur_a, cur_b = survivors[0]
+        for a, b in survivors[1:]:
+            if a - cur_b <= 2:
+                cur_b = b
+            else:
+                runs.append((cur_a + 1, cur_b - cur_a - 1))
+                cur_a, cur_b = a, b
+        runs.append((cur_a + 1, cur_b - cur_a - 1))
+        # tiny runs: the packed layout spans ~len1 slots per run no
+        # matter how few windows it holds — individual scans win
+        small = [r for r in runs if r[1] * 10 < len1]
+        large = [r for r in runs if r[1] * 10 >= len1]
+        zeros_all = []
+        floor = int(max(best, cutoff) * len1)
+        for begin, count in small:
+            zeros_all.extend(
+                _lcs_single(masks, len1, haystack, begin + d, floor)
+                for d in range(count)
+            )
+        if large:
+            zeros_all.extend(
+                _packed_scan_runs(masks, len1, haystack, large)
+            )
+        for zeros in zeros_all:
+            sim = zeros / len1
+            if sim > best:
+                best = sim
+    return best, lcs_at[0], lcs_at[last]
+
+
 def best_window_similarity(
     needle: str, haystack: str, cutoff: float = 0.0
 ) -> float:
@@ -225,25 +354,31 @@ def best_window_similarity(
         return 0.0
 
     best = 0.0
+    lcs0 = lcs_last = None  # EXACT first/last-window LCS when known
 
     # ---- interior full-length windows first (they dominate the maximum
-    # for near-duplicates, making the edge-scan pruning effective)
+    # for near-duplicates, making the edge-scan pruning effective).
+    # ALL len1-length alignments are scanned here — offsets 0..n_win
+    # INCLUSIVE (the final alignment haystack[len2-len1:] included, which
+    # the edge-skip suffix bound anchors on: every suffix window is a
+    # substring of it, just as every prefix window is of offset 0).
     n_win = len2 - len1
     if 0 < n_win and n_win * 10 < len1:
         # few windows on a long needle: the packed layout would span
-        # ~len1 slots regardless, so per-window scans (with early exit
-        # at a perfect window — the common near-duplicate case) win
+        # ~len1 slots regardless — exact single-window scans driven by
+        # branch-and-bound bisection win (dissimilar landscapes collapse
+        # after the endpoint evals)
         masks = _pattern_masks(needle)
-        for i in range(n_win):
-            floor = int(max(best, cutoff) * len1)
-            sim = _lcs_single(masks, len1, haystack, i, floor) / len1
-            if sim > best:
-                best = sim
-                if best == 1.0:
-                    return 1.0
+        best, lcs0, lcs_last = _bisect_interior(
+            masks, len1, haystack, n_win + 1, cutoff
+        )
+        if best == 1.0:
+            return 1.0
     elif 0 < n_win <= _MIN_STRIDED:
         masks = _pattern_masks(needle)
-        for zeros in _packed_scan(masks, len1, haystack, 0, n_win, 1):
+        zeros_all = _packed_scan(masks, len1, haystack, 0, n_win + 1, 1)
+        lcs0, lcs_last = zeros_all[0], zeros_all[-1]
+        for zeros in zeros_all:
             sim = zeros / len1  # 2·lcs / (len1 + len1)
             if sim > best:
                 best = sim
@@ -255,68 +390,22 @@ def best_window_similarity(
         # need to separate the landscape from the cutoff, not from the
         # running best); K never affects exactness, only work
         K = _STRIDE if cutoff < 0.6 else min(4 * _STRIDE, max(n_win // 8, _STRIDE))
-        n_coarse = (n_win - 1) // K + 1
-        coarse_idx = [s * K for s in range(n_coarse)]
-        lcs_at = dict(
-            zip(coarse_idx, _packed_scan(masks, len1, haystack, 0, n_coarse, K))
+        best, lcs0, lcs_last = _coarse_then_runs(
+            masks, len1, haystack, n_win + 1, K, cutoff
         )
-        last = n_win - 1
-        if last not in lcs_at:
-            lcs_at[last] = _lcs_single(masks, len1, haystack, last)
-        anchors = sorted(lcs_at)
-        best = max(lcs_at.values()) / len1
         if best == 1.0:
             return 1.0
 
-        # keep blocks whose Lipschitz bound can still beat the target:
-        # lcs_j ≤ min(lcs_a + (j-a), lcs_b + (b-j)) for a<j<b, so the
-        # block max is bounded by (lcs_a + lcs_b + (b-a)) / 2
-        thresh2x = 2.0 * max(best, cutoff) * len1
-        survivors = [
-            (a, b)
-            for a, b in zip(anchors, anchors[1:])
-            if b - a > 1 and lcs_at[a] + lcs_at[b] + (b - a) > thresh2x
-        ]
-        if survivors:
-            # merge adjacent/nearby blocks into maximal stride-1 runs
-            # (evaluating the few anchor windows again is cheaper than
-            # paying per-run packed-mask assembly for fragmented runs)
-            runs = []
-            cur_a, cur_b = survivors[0]
-            for a, b in survivors[1:]:
-                if a - cur_b <= 2:
-                    cur_b = b
-                else:
-                    runs.append((cur_a + 1, cur_b - cur_a - 1))
-                    cur_a, cur_b = a, b
-            runs.append((cur_a + 1, cur_b - cur_a - 1))
-            # tiny runs: the packed layout spans ~len1 slots per run no
-            # matter how few windows it holds — individual scans win
-            small = [r for r in runs if r[1] * 10 < len1]
-            large = [r for r in runs if r[1] * 10 >= len1]
-            zeros_all = []
-            floor = int(max(best, cutoff) * len1)
-            for begin, count in small:
-                zeros_all.extend(
-                    _lcs_single(masks, len1, haystack, begin + d, floor)
-                    for d in range(count)
-                )
-            if large:
-                zeros_all.extend(
-                    _packed_scan_runs(masks, len1, haystack, large)
-                )
-            for zeros in zeros_all:
-                sim = zeros / len1
-                if sim > best:
-                    best = sim
-            if best == 1.0:
-                return 1.0
-
-    # ---- edge windows
-    best = _prefix_scan_best(needle, haystack, len1 - 1, best, cutoff)
-    if best == 1.0:
-        return 1.0
-    best = _prefix_scan_best(
-        needle[::-1], haystack[::-1], min(len1, len2), best, cutoff
-    )
+    # ---- edge windows, each family skipped when its substring bound
+    # (see _edge_scan_bound) cannot beat max(best, cutoff)
+    target = max(best, cutoff)
+    if lcs0 is None or _edge_scan_bound(len1, lcs0) > target:
+        best = _prefix_scan_best(needle, haystack, len1 - 1, best, cutoff)
+        if best == 1.0:
+            return 1.0
+        target = max(best, cutoff)
+    if lcs_last is None or _edge_scan_bound(len1, lcs_last) > target:
+        best = _prefix_scan_best(
+            needle[::-1], haystack[::-1], min(len1, len2), best, cutoff
+        )
     return best

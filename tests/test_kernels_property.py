@@ -5,7 +5,7 @@ against naive dynamic-programming references on random inputs; the
 number-word parser is checked for idempotence and digit-only output on
 number phrases.
 """
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from bib_dedupe_spark.kernels import fuzz, numwords
@@ -43,6 +43,11 @@ def test_ratio_bounds_and_symmetry(a, b):
 
 
 @settings(max_examples=150, deadline=None)
+# pinned: the FINAL alignment haystack[len2-len1:] must be scanned (or
+# reachable through the suffix-edge scan) — the round-3 edge-skip bound
+# anchors on it, and skipping it lost the ' '-in-'a ' match entirely
+@example(" ", "a ")
+@example("ab", "xxab")
 @given(_alpha, _alpha)
 def test_window_scans_agree(a, b):
     shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
