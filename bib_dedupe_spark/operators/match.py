@@ -37,6 +37,7 @@ def match(
     persist: bool = True,
     staged: bool | None = None,
     abstract_cutoff: float | None = None,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Score similarities, evaluate the rule set, label edges.
 
@@ -46,6 +47,8 @@ def match(
     ``abstract_cutoff`` — see sim.score; custom rule lists are validated
     against the banded-kernel cutoff at plan-build time and raise with
     guidance if any abstract comparison could be affected.
+    ``cache_out`` — collects internally persisted frames for the caller
+    to unpersist after consumption (streaming micro-batch hygiene).
     """
     custom = (
         duplicate_conditions is not None or non_duplicate_conditions is not None
@@ -64,7 +67,9 @@ def match(
     if staged is None:
         staged = not custom and persist
     if staged and not custom:
-        return match_staged(pairs_df, abstract_cutoff=abstract_cutoff)
+        return match_staged(
+            pairs_df, abstract_cutoff=abstract_cutoff, cache_out=cache_out
+        )
 
     scored = sim.score(pairs_df, abstract_cutoff=abstract_cutoff)
     return match_scored(
@@ -75,8 +80,57 @@ def match(
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _staged_plan_sql():
+    """Precomputed SQL for the staged path (pure string work, cached).
+
+    Streaming calls match() once per micro-batch; the substitution +
+    piece-rewrite passes are deterministic functions of the default rule
+    set, so they are built exactly once per process.
+    """
+    dup_sql = " OR ".join(rules.DUPLICATE_CONDITIONS)
+    veto_fire_sql = " OR ".join(rules.NON_DUPLICATE_CONDITIONS)
+    maybe_sql = rules.MAYBE_CONDITION
+
+    pieces, _gates, _rw = rules.factored_rule_plan()
+    cheap_pieces = {
+        name: sql
+        for name, sql in pieces.items()
+        if not rules.references_expensive(sql)
+    }
+
+    def _rw_pieces(sql: str) -> str:
+        for pname, psql in cheap_pieces.items():
+            sql = sql.replace(psql, f" ({pname}) ")
+        return sql
+
+    bound_cols = {
+        "_dup_hi": rules.substitute_expensive(dup_sql, 1.0, 1.0),
+        "_dup_lo": rules.substitute_expensive(dup_sql, 0.0, 0.0),
+        "_mb_hi": rules.substitute_expensive(maybe_sql, 1.0, 1.0),
+        "_mb_lo": rules.substitute_expensive(maybe_sql, 0.0, 0.0),
+    }
+    bound_cols = {
+        k: f"COALESCE(({_rw_pieces(v)}), {'true' if k.endswith('_hi') else 'false'})"
+        for k, v in bound_cols.items()
+    }
+    bound_cols["_veto"] = f"COALESCE(({_rw_pieces(veto_fire_sql)}), true)"
+    return (
+        cheap_pieces,
+        bound_cols,
+        _rw_pieces(dup_sql),
+        f"COALESCE(({_rw_pieces(veto_fire_sql)}), true)",
+        _rw_pieces(maybe_sql),
+    )
+
+
 def match_staged(
-    pairs_df: DataFrame, abstract_cutoff: float | None = None
+    pairs_df: DataFrame,
+    abstract_cutoff: float | None = None,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Lazy rule evaluation over the DEFAULT rule set — ONE linear plan.
 
@@ -93,47 +147,22 @@ def match_staged(
     twice. A pair satisfying both duplicate and maybe takes the
     duplicate label (the CASE order), exactly like the exact path's
     anti-join.
+
+    Bound construction: monotone substitution (see rules.py) with the
+    repeated raw-column PIECE fragments factored into flag columns so
+    Catalyst analyzes a small tree; the NULL discipline mirrors the
+    exact path's filter semantics (upper bounds coalesce NULL→true,
+    lower bounds NULL→false, _veto NULL→true == filter(NOT fire)
+    dropping NULL-fire rows). All of it is precomputed string work —
+    see _staged_plan_sql.
+
+    ``cache_out`` — when given, the internally persisted stage-1 frame
+    is appended to it; long-running callers (streaming micro-batches)
+    MUST unpersist those after consuming the result, or caches
+    accumulate per batch.
     """
-    dup_sql = " OR ".join(rules.DUPLICATE_CONDITIONS)
-    veto_fire_sql = " OR ".join(rules.NON_DUPLICATE_CONDITIONS)
-    maybe_sql = rules.MAYBE_CONDITION
-
-    # bounds: monotone substitution (see rules.py); factor the repeated
-    # raw-column PIECE fragments afterwards so Catalyst analyzes a small
-    # tree — fragments containing the substituted tokens simply stay
-    # inline and constant-fold. (Gate-level factoring is skipped here:
-    # most gates read author and no longer match after substitution.)
-    pieces, _gates, _rw = rules.factored_rule_plan()
-    # the author/abstract `= 1.0` pieces reference sim columns that only
-    # exist after the expensive stage (and can't appear in the
-    # substituted bounds); keep them out of the stage-1 flag set
-    cheap_pieces = {
-        name: sql
-        for name, sql in pieces.items()
-        if not rules.references_expensive(sql)
-    }
-
-    def _rewrite_pieces(sql: str) -> str:
-        for pname, psql in cheap_pieces.items():
-            sql = sql.replace(psql, f" ({pname}) ")
-        return sql
-
-    # NULL discipline — mirror the exact path's filter semantics (a NULL
-    # predicate drops the row): the upper bounds coalesce NULL→true (can't
-    # rule the label out), the lower bounds NULL→false (can't rule it in),
-    # and _veto NULL→true matches filter(NOT fire) dropping NULL-fire rows.
-    bound_cols = {
-        "_dup_hi": rules.substitute_expensive(dup_sql, 1.0, 1.0),
-        "_dup_lo": rules.substitute_expensive(dup_sql, 0.0, 0.0),
-        "_mb_hi": rules.substitute_expensive(maybe_sql, 1.0, 1.0),
-        "_mb_lo": rules.substitute_expensive(maybe_sql, 0.0, 0.0),
-    }
-    bound_cols = {
-        k: f"COALESCE(({_rewrite_pieces(v)}), {'true' if k.endswith('_hi') else 'false'})"
-        for k, v in bound_cols.items()
-    }
-    bound_cols["_veto"] = (
-        f"COALESCE(({_rewrite_pieces(veto_fire_sql)}), true)"
+    cheap_pieces, bound_cols, dup_rw, veto_fire_rw, maybe_rw = (
+        _staged_plan_sql()
     )
 
     dup_possible = F.col("_dup_hi") & ~F.col("_veto")
@@ -167,6 +196,8 @@ def match_staged(
     # downstream tree is small. The piece flags stay cached (booleans)
     # because the exact stage-2 label below references them.
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_out is not None:
+        cache_out.append(df)
 
     # expensive sims, gated: decided rows ship '' through Arrow and their
     # outputs are never read (the label CASE hits a decided branch first)
@@ -181,13 +212,11 @@ def match_staged(
         F.when(F.col("_decision") == C.DUPLICATE, F.lit(C.DUPLICATE))
         .when(F.col("_decision") == C.MAYBE, F.lit(C.MAYBE))
         .when(
-            und
-            & F.expr(_rewrite_pieces(dup_sql))
-            & ~F.expr(f"COALESCE(({_rewrite_pieces(veto_fire_sql)}), true)"),
+            und & F.expr(dup_rw) & ~F.expr(veto_fire_rw),
             F.lit(C.DUPLICATE),
         )
         .when(
-            und & F.expr(_rewrite_pieces(maybe_sql)),
+            und & F.expr(maybe_rw),
             F.lit(C.MAYBE),
         )
     )

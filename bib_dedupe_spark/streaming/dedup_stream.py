@@ -228,7 +228,10 @@ def link_batch(
     else:
         pairs = block(prepared_batch, max_block_size=max_block_size)
 
-    matched = match(pairs)
+    # cache_out: the staged match persists an internal stage-1 frame; a
+    # long-running stream must release it per batch or caches accumulate
+    batch_caches: list = []
+    matched = match(pairs, cache_out=batch_caches)
     matched.write.mode("overwrite").parquet(f"{edges_path}/_batch={batch_id}")
     prepared_batch.write.mode("overwrite").parquet(
         f"{corpus_path}/_batch={batch_id}"
@@ -237,6 +240,8 @@ def link_batch(
     corpus_key_table(prepared_batch).write.mode("overwrite").parquet(
         f"{keys_path}/_batch={batch_id}"
     )
+    for df in batch_caches:
+        df.unpersist()
 
 
 def run_incremental_linkage(
