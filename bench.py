@@ -58,6 +58,7 @@ def run_dedupe(spark) -> dict:
     import pandas as pd
 
     from bib_dedupe_spark import block, cluster
+    from bib_dedupe_spark.operators.match import match as match_lazy
     from bib_dedupe_spark.operators.match import match_scored
     from bib_dedupe_spark.operators.sim import score
     from bib_dedupe_spark.operators.prep import prep
@@ -116,14 +117,19 @@ def run_dedupe(spark) -> dict:
     # rule-bound-undecided remainder). Each match() call persists a fresh
     # internal stage-1 frame (new lineage per call), so pass 2 re-runs the
     # kernels; the leaked caches are released with the big frames below.
-    from bib_dedupe_spark.operators.match import match as match_lazy
-
     t_staged_big = None
     for _ in range(2):
         t0 = time.time()
         match_lazy(big_pairs).write.format("noop").mode("overwrite").save()
         wall = time.time() - t0
         t_staged_big = wall if t_staged_big is None else min(t_staged_big, wall)
+    # apples-to-apples exact baseline: full scoring + rule filters to
+    # labeled edges (one pass — it is the slow path being replaced)
+    t0 = time.time()
+    match_lazy(big_pairs, staged=False, persist=True).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t_exact_big = time.time() - t0
     big_pairs.unpersist()
     big_prepared.unpersist()
 
@@ -131,6 +137,12 @@ def run_dedupe(spark) -> dict:
     matched = match_scored(scored, persist=False).persist()
     matched.count()
     t_match = time.time() - t0
+
+    # the DEFAULT pipeline path on the same pairs (staged lazy match):
+    # sim + rule evaluation fused, expensive kernels on undecided only
+    t0 = time.time()
+    match_lazy(pairs).write.format("noop").mode("overwrite").save()
+    t_staged_small = time.time() - t0
 
     t0 = time.time()
     components = cluster(matched)
@@ -153,6 +165,7 @@ def run_dedupe(spark) -> dict:
         "block_s": round(t_block, 2),
         "sim_s": round(t_sim, 2),
         "match_s": round(t_match, 2),
+        "staged_sim_match_s": round(t_staged_small, 2),
         "cluster_s": round(t_cluster, 2),
         "pairs_scored_per_s": round(n_pairs / sim_match_wall, 1),
         "sim_throughput_pairs": n_big,
@@ -160,7 +173,9 @@ def run_dedupe(spark) -> dict:
         "sim_throughput_pairs_per_s": round(n_big / t_sim_big, 1),
         "staged_match_wall_s": round(t_staged_big, 2),
         "staged_match_pairs_per_s": round(n_big / t_staged_big, 1),
-        "staged_speedup_vs_full_scoring": round(t_sim_big / t_staged_big, 2),
+        "exact_match_wall_s": round(t_exact_big, 2),
+        "exact_match_pairs_per_s": round(n_big / t_exact_big, 1),
+        "staged_speedup_vs_exact_match": round(t_exact_big / t_staged_big, 2),
         "precision": round(quality["precision"], 5),
         "recall": round(quality["recall"], 5),
         "f1": round(quality["f1"], 5),
