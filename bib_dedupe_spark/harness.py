@@ -364,13 +364,13 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-def q_ngram_jaccard(spark, sf_dir):
+def q_ngram_jaccard(spark, sf_dir, lang="fr"):
     """3-gram Jaccard near-dup scoring over blocked pairs (integer form)."""
-    sh = _shingles(spark, sf_dir, "fr")
+    sh = _shingles(spark, sf_dir, lang)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (
         _block_pairs(spark, sf_dir)
-        .filter(F.col("lang") == "fr")
+        .filter(F.col("lang") == lang)
         .select("id1", "id2")
     )
     shared = (
@@ -394,6 +394,38 @@ def q_ngram_jaccard(spark, sf_dir):
             "id2",
             "shared",
             (F.col("n1") + F.col("n2") - F.col("shared")).alias("union_size"),
+        )
+    )
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """Near-dup cluster formation + dedup-savings accounting (compound):
+    blocked candidates → exact 3-gram Jaccard ≥ 0.5 verify → connected
+    components → per-cluster keep-one summary (kept doc = min id;
+    removed_chars = chars deleted by keep-one) — the table a
+    training-data dedup pipeline reports per shard.
+    """
+    from bib_dedupe_spark.operators.cluster import connected_components
+
+    jac = q_ngram_jaccard(spark, sf_dir, lang="en")
+    edges = jac.filter(F.col("shared") * 2 >= F.col("union_size")).select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    )
+    comp = connected_components(edges).select(
+        F.col("ID").alias("node"), "component"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), "n_chars"
+    )
+    return (
+        comp.join(docs, "node")
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("node").alias("kept_doc"),
+            (F.sum("n_chars") - F.min_by("n_chars", "node"))
+            .cast("long")
+            .alias("removed_chars"),
         )
     )
 
@@ -758,6 +790,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "near_dup_clusters": q_near_dup_clusters,
     "token_stats": q_token_stats,
     "quality_flags": q_quality_flags,
     "url_canonical": q_url_canonical,
@@ -958,6 +991,35 @@ ORACLES = {
         " FROM pairs p LEFT JOIN shared s ON s.id1 = p.id1 AND s.id2 = p.id2"
         " JOIN counts c1 ON c1.doc_id = p.id1"
         " JOIN counts c2 ON c2.doc_id = p.id2"
+    ),
+    "near_dup_clusters": (
+        "WITH RECURSIVE "
+        + _SHINGLE_CTE_TMPL.format(lang="en")
+        + ", k AS (SELECT doc_id, lang, split_part(text,' ',1) AS tok"
+        " FROM documents), "
+        "pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM k a"
+        " JOIN k b ON a.lang = b.lang AND a.tok = b.tok"
+        " AND a.doc_id < b.doc_id WHERE a.lang = 'en'), "
+        "counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "shared AS (SELECT p.id1, p.id2, count(*) AS shared FROM pairs p"
+        " JOIN sh s1 ON s1.doc_id = p.id1"
+        " JOIN sh s2 ON s2.doc_id = p.id2 AND s2.shingle = s1.shingle"
+        " GROUP BY p.id1, p.id2), "
+        "verified AS (SELECT s.id1, s.id2 FROM shared s"
+        " JOIN counts c1 ON c1.doc_id = s.id1"
+        " JOIN counts c2 ON c2.doc_id = s.id2"
+        " WHERE 2 * s.shared >= c1.n_sh + c2.n_sh - s.shared), "
+        "e AS (SELECT id1 AS src, id2 AS dst FROM verified"
+        " UNION SELECT id2, id1 FROM verified), "
+        "r AS (SELECT src AS node, src AS comp FROM e"
+        " UNION SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.node"
+        " WHERE r.comp < e.dst), "
+        "lab AS (SELECT node, min(comp) AS component FROM r GROUP BY node)"
+        " SELECT component, count(*) AS n_members, min(node) AS kept_doc,"
+        " CAST(sum(d.n_chars) - arg_min(d.n_chars, node) AS BIGINT)"
+        "  AS removed_chars"
+        " FROM lab JOIN documents d ON d.doc_id = lab.node"
+        " GROUP BY component"
     ),
     "token_stats": (
         "SELECT doc_id, len(string_split(text,' ')) AS n_tokens,"
