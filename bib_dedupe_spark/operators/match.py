@@ -65,10 +65,47 @@ def match(
                 cutoff / 100.0,
             )
     if staged is None:
-        staged = not custom and persist
-    if staged and not custom:
+        # custom rule lists are admitted to the staged path only when the
+        # hi/lo bound substitution is provably sound for them: duplicate +
+        # maybe predicates monotone non-decreasing in the expensive sims,
+        # vetoes not reading them at all. Anything unrecognized falls back
+        # to full scoring.
+        if custom:
+            staged = persist and rules.monotone_in_expensive(
+                (duplicate_conditions or rules.DUPLICATE_CONDITIONS)
+                + [rules.MAYBE_CONDITION]
+            ) and not any(
+                rules.references_expensive(v)
+                for v in (
+                    non_duplicate_conditions or rules.NON_DUPLICATE_CONDITIONS
+                )
+            )
+        else:
+            staged = persist
+    elif staged and custom:
+        # explicit staged=True with custom rules: refuse unsound plans
+        if not rules.monotone_in_expensive(
+            (duplicate_conditions or rules.DUPLICATE_CONDITIONS)
+            + [rules.MAYBE_CONDITION]
+        ) or any(
+            rules.references_expensive(v)
+            for v in (
+                non_duplicate_conditions or rules.NON_DUPLICATE_CONDITIONS
+            )
+        ):
+            raise ValueError(
+                "staged=True requires rules whose author/abstract sim "
+                "references are monotone (`> t`, `>= t`, `= 1.0`, no NOT) "
+                "and vetoes that do not read those sims; pass staged=False "
+                "for full scoring"
+            )
+    if staged:
         return match_staged(
-            pairs_df, abstract_cutoff=abstract_cutoff, cache_out=cache_out
+            pairs_df,
+            abstract_cutoff=abstract_cutoff,
+            cache_out=cache_out,
+            duplicate_conditions=duplicate_conditions,
+            non_duplicate_conditions=non_duplicate_conditions,
         )
 
     scored = sim.score(pairs_df, abstract_cutoff=abstract_cutoff)
@@ -83,16 +120,23 @@ def match(
 from functools import lru_cache
 
 
-@lru_cache(maxsize=1)
-def _staged_plan_sql():
+@lru_cache(maxsize=8)
+def _staged_plan_sql(
+    duplicate_conditions: tuple | None = None,
+    non_duplicate_conditions: tuple | None = None,
+):
     """Precomputed SQL for the staged path (pure string work, cached).
 
     Streaming calls match() once per micro-batch; the substitution +
-    piece-rewrite passes are deterministic functions of the default rule
-    set, so they are built exactly once per process.
+    piece-rewrite passes are deterministic functions of the rule set
+    (default when the tuples are None), so they are built once per
+    process per rule set. Callers must have established monotonicity
+    (rules.monotone_in_expensive) before requesting a custom plan.
     """
-    dup_sql = " OR ".join(rules.DUPLICATE_CONDITIONS)
-    veto_fire_sql = " OR ".join(rules.NON_DUPLICATE_CONDITIONS)
+    dup_sql = " OR ".join(duplicate_conditions or rules.DUPLICATE_CONDITIONS)
+    veto_fire_sql = " OR ".join(
+        non_duplicate_conditions or rules.NON_DUPLICATE_CONDITIONS
+    )
     maybe_sql = rules.MAYBE_CONDITION
 
     pieces, _gates, _rw = rules.factored_rule_plan()
@@ -131,6 +175,8 @@ def match_staged(
     pairs_df: DataFrame,
     abstract_cutoff: float | None = None,
     cache_out: list | None = None,
+    duplicate_conditions: list | None = None,
+    non_duplicate_conditions: list | None = None,
 ) -> DataFrame:
     """Lazy rule evaluation over the DEFAULT rule set — ONE linear plan.
 
@@ -162,7 +208,12 @@ def match_staged(
     accumulate per batch.
     """
     cheap_pieces, bound_cols, dup_rw, veto_fire_rw, maybe_rw = (
-        _staged_plan_sql()
+        _staged_plan_sql(
+            tuple(duplicate_conditions) if duplicate_conditions else None,
+            tuple(non_duplicate_conditions)
+            if non_duplicate_conditions
+            else None,
+        )
     )
 
     dup_possible = F.col("_dup_hi") & ~F.col("_veto")

@@ -276,6 +276,46 @@ def references_expensive(sql: str) -> bool:
     return bool(_AUTHOR_TOKEN.search(sql) or _ABSTRACT_TOKEN.search(sql))
 
 
+def not_scopes(sql: str):
+    """Yield the parenthesized argument of every ``NOT (...)`` in sql."""
+    for m in re.finditer(r"\bNOT\s*\(", sql):
+        depth, start = 1, m.end()
+        i = start
+        while depth and i < len(sql):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        yield sql[start : i - 1]
+
+
+# atoms provably monotone NON-DECREASING in the sim value over [0,1]:
+# `sim > t`, `sim >= t`, and the exact-match step `sim = 1.0`
+_MONOTONE_ATOM = re.compile(
+    rf"\b(?:{AUTHOR}|{ABSTRACT})\b\s*"
+    rf"(?:(?:>=|>)\s*[0-9]*\.?[0-9]+|=\s*1\.0\b)"
+)
+
+
+def monotone_in_expensive(conditions) -> bool:
+    """Can these predicates be bound by substituting author/abstract=0/1?
+
+    True iff every reference to the author/abstract SIM columns is a
+    monotone-nondecreasing atom (`> t`, `>= t`, `= 1.0`) outside any
+    NOT(...) scope — the soundness condition for the staged match path's
+    hi/lo substitution. Conservative: anything unrecognized refuses.
+    """
+    for cond in conditions:
+        for scope in not_scopes(cond):
+            if references_expensive(scope):
+                return False
+        stripped = _MONOTONE_ATOM.sub(" TRUE ", cond)
+        if references_expensive(stripped):
+            return False
+    return True
+
+
 _CMP_RIGHT = re.compile(
     rf"\b{ABSTRACT}\b\s*(>=|<=|!=|=|>|<)\s*([0-9]*\.?[0-9]+)"
 )

@@ -28,7 +28,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-N_RECORDS = int(os.environ.get("SCALING_RECORDS", "6000"))
+# Load sizes track engine speed: after the round-3 kernel + staged-match
+# speedups the old 15k-record sim load ran ~2 s walls at N cores — pure
+# fixed cost, unmeasurable scaling (the Amdahl trap BENCH_SCALING.md run D
+# documented). Keep the timed section ≥ 45 s at the LOW parallelism level.
+N_RECORDS = int(os.environ.get("SCALING_RECORDS", "12000"))
 SEED = 42
 
 
@@ -79,7 +83,7 @@ def run_at(cores: int) -> dict:
     # dominant-stage load: a bigger corpus's NATURAL blocked pairs
     # (replicated pairs would hit the per-side kernel caches dishonestly)
     big_records, _ = generate(
-        n_base=int(os.environ.get("SCALING_THROUGHPUT_RECORDS", "15000")),
+        n_base=int(os.environ.get("SCALING_THROUGHPUT_RECORDS", "40000")),
         seed=7,
     )
     big_prepared = prep(

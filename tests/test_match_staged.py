@@ -148,6 +148,50 @@ def test_validate_abstract_cutoff_rejects(bad):
         rules.validate_abstract_cutoff([bad], rules.MIN_ABSTRACT_SIM_THRESHOLD)
 
 
+def test_monotone_validator():
+    assert rules.monotone_in_expensive(
+        rules.DUPLICATE_CONDITIONS + [rules.MAYBE_CONDITION]
+    )
+    assert rules.monotone_in_expensive(["author > 0.9 AND title > 0.8"])
+    assert rules.monotone_in_expensive(["abstract = 1.0 OR author >= 0.85"])
+    # non-monotone / unrecognized forms refuse
+    assert not rules.monotone_in_expensive(["author < 0.5"])
+    assert not rules.monotone_in_expensive(["abstract = 0.5"])
+    assert not rules.monotone_in_expensive(["NOT (author > 0.9)"])
+    assert not rules.monotone_in_expensive(["author * 2 > 1.8"])
+    assert not rules.monotone_in_expensive(
+        ["title > 0.8 AND NOT (x = 1 OR abstract > 0.9)"]
+    )
+
+
+def test_custom_monotone_rules_staged_parity(spark, pairs):
+    """A monotone custom rule set is admitted to the staged path and must
+    produce exactly the full-scoring edges; a non-monotone one falls back
+    (and explicit staged=True for it raises)."""
+    custom_dup = [
+        "author > 0.9 AND title > 0.9 AND abstract > 0.9",
+        rules.DUPLICATE_CONDITIONS[0],
+    ]
+    staged_edges = _edges(match(pairs, duplicate_conditions=custom_dup))
+    full_edges = _edges(
+        match(pairs, duplicate_conditions=custom_dup, staged=False)
+    )
+    assert staged_edges == full_edges
+
+    bad = ["author < 0.5 AND title > 0.9"]
+    # falls back silently on the default path...
+    out = match(pairs, duplicate_conditions=bad, abstract_cutoff=0.0)
+    out.count()
+    # ...and refuses an explicit staged request
+    with pytest.raises(ValueError, match="monotone"):
+        match(
+            pairs,
+            duplicate_conditions=bad,
+            staged=True,
+            abstract_cutoff=0.0,
+        )
+
+
 def test_match_rejects_low_custom_abstract_rule(spark, pairs):
     with pytest.raises(ValueError, match="abstract"):
         match(pairs, duplicate_conditions=["abstract > 0.5"])
