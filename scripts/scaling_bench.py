@@ -190,6 +190,9 @@ def main() -> None:
     ) / 4
     out = {
         "n_records_base": N_RECORDS,
+        "throughput_records": int(
+            os.environ.get("SCALING_THROUGHPUT_RECORDS", "40000")
+        ),
         "host_note": (
             "co-tenanted 32-core sandbox (idle load ~8-12); levels chosen"
             " to fit the free-core budget, best of 2 interleaved passes"
