@@ -286,18 +286,11 @@ def staged_decision_stats(pairs_df: DataFrame) -> dict:
     stage-1 frame, no expensive kernels. Keys: total, certain_dup,
     certain_maybe, decided_drop, undecided.
     """
-    dup_sql = " OR ".join(rules.DUPLICATE_CONDITIONS)
-    veto_fire_sql = " OR ".join(rules.NON_DUPLICATE_CONDITIONS)
-    maybe_sql = rules.MAYBE_CONDITION
-    flags = {
-        "_dup_hi": f"COALESCE(({rules.substitute_expensive(dup_sql, 1.0, 1.0)}), true)",
-        "_dup_lo": f"COALESCE(({rules.substitute_expensive(dup_sql, 0.0, 0.0)}), false)",
-        "_mb_hi": f"COALESCE(({rules.substitute_expensive(maybe_sql, 1.0, 1.0)}), true)",
-        "_mb_lo": f"COALESCE(({rules.substitute_expensive(maybe_sql, 0.0, 0.0)}), false)",
-        "_veto": f"COALESCE(({veto_fire_sql}), true)",
-    }
-    cheap = sim.score_cheap(pairs_df).withColumns(
-        {name: F.expr(sql) for name, sql in flags.items()}
+    cheap_pieces, bound_cols, _dup, _veto, _mb = _staged_plan_sql()
+    cheap = (
+        sim.score_cheap(pairs_df)
+        .withColumns({n: F.expr(s) for n, s in cheap_pieces.items()})
+        .withColumns({n: F.expr(s) for n, s in bound_cols.items()})
     )
     dup_possible = F.col("_dup_hi") & ~F.col("_veto")
     dup_certain = F.col("_dup_lo") & ~F.col("_veto")
