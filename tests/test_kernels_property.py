@@ -174,3 +174,36 @@ def test_partial_ratio_cutoff_zero_is_exact(needle, hay):
     assert fuzz.partial_ratio(needle, hay) == fuzz.partial_ratio(
         needle, hay, score_cutoff=0.0
     )
+
+
+def test_bisect_branch_seeded_differential():
+    """Deterministic sweep of the few-windows-long-needle (bisection)
+    branch + edge-skip bound: exact at cutoff=0 and cutoff-contract-safe
+    at the rule cutoff, vs the pure-Python window scan. (A 10k-case
+    version of this ran clean when the branch landed; this seeded slice
+    keeps the coverage in CI time.)"""
+    import random
+
+    from bib_dedupe_spark.kernels import fuzz_np
+
+    rnd = random.Random(321)
+    alpha = "abcdefg hij"
+    for _ in range(120):
+        l1 = rnd.randint(150, 400)
+        n_win = rnd.randint(1, max(2, l1 // 12))
+        a = "".join(rnd.choice(alpha) for _ in range(l1))
+        b = "".join(rnd.choice(alpha) for _ in range(l1 + n_win))
+        if rnd.random() < 0.4:
+            pos = rnd.randint(0, n_win)
+            mut = list(a)
+            for _ in range(rnd.randint(0, 6)):
+                mut[rnd.randrange(l1)] = rnd.choice(alpha)
+            b = b[:pos] + "".join(mut) + b[pos + l1:]
+        want = fuzz._best_window_similarity(a, b)
+        got = fuzz_np.best_window_similarity(a, b)
+        assert abs(want - got) < 1e-12, (l1, n_win, want, got)
+        banded = fuzz_np.best_window_similarity(a, b, 0.8)
+        if want > 0.8:
+            assert abs(banded - want) < 1e-12, (l1, n_win, want, banded)
+        else:
+            assert banded <= want + 1e-12, (l1, n_win, want, banded)
