@@ -19,6 +19,8 @@ tests/test_match_staged.py differential parity).
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -42,8 +44,9 @@ def match(
     """Score similarities, evaluate the rule set, label edges.
 
     ``staged`` — None (default) uses the lazy cheap-sims-first plan for
-    the default rule set and falls back to full scoring for custom rule
-    lists (whose monotonicity in author/abstract we cannot assume).
+    the default rule set and for custom rule lists that are PROVABLY
+    monotone in the expensive sims (rules.monotone_in_expensive); other
+    custom rules fall back to full scoring.
     ``abstract_cutoff`` — see sim.score; custom rule lists are validated
     against the banded-kernel cutoff at plan-build time and raise with
     guidance if any abstract comparison could be affected.
@@ -115,9 +118,6 @@ def match(
         non_duplicate_conditions=non_duplicate_conditions,
         persist=persist,
     )
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=8)
