@@ -236,7 +236,23 @@ def match_staged(
     df = df.withColumns(
         {name: F.expr(sql) for name, sql in bound_cols.items()}
     )
-    df = df.withColumn("_decision", decision).drop(*bound_cols.keys())
+    df = df.withColumn("_decision", decision)
+    # gate the expensive-kernel inputs BEFORE the persist: decided rows
+    # store '' in the struct, and the heavy raw author/abstract columns
+    # never enter the cache at all — at ~1M pairs this cuts the barrier's
+    # I/O ~8x (it was the non-scaling floor of the staged path)
+    df = df.withColumn(
+        "_exp_in",
+        sim.gated_expensive_inputs(F.col("_decision") == "undecided"),
+    ).drop(
+        *bound_cols.keys(),
+        "author_1",
+        "author_2",
+        "author_full_1",
+        "author_full_2",
+        "abstract_1",
+        "abstract_2",
+    )
     # MATERIALIZATION BARRIER — load-bearing, not an optimization knob:
     # PythonUDF is a plain expression, so without this persist
     # CollapseProject inlines the (large) bound trees into every
@@ -250,13 +266,14 @@ def match_staged(
     if cache_out is not None:
         cache_out.append(df)
 
-    # expensive sims, gated: decided rows ship '' through Arrow and their
-    # outputs are never read (the label CASE hits a decided branch first)
+    # expensive sims from the pre-gated struct: decided rows shipped ''
+    # and their outputs are never read (the label CASE hits a decided
+    # branch first)
     df = sim.score_expensive(
         df,
         abstract_cutoff=abstract_cutoff,
-        gate=F.col("_decision") == "undecided",
-    )
+        inputs_struct=F.col("_exp_in"),
+    ).drop("_exp_in")
 
     und = F.col("_decision") == "undecided"
     label = (

@@ -233,33 +233,44 @@ def score_cheap(pairs_df: DataFrame) -> DataFrame:
     return with_struct.select("*", "_csims.*").drop("_csims")
 
 
+def gated_expensive_inputs(gate: "F.Column") -> "F.Column":
+    """Struct of the expensive-kernel inputs, '' unless ``gate``.
+
+    ONE conditional on the whole struct — the gate expression is
+    referenced once, so CollapseProject cannot fan its (large,
+    rule-bound-derived) tree out into every input column. The staged
+    match path materializes this struct BEFORE its persist barrier so
+    the cached frame never carries the heavy raw abstract/author columns
+    for decided rows.
+    """
+    return F.when(
+        gate, F.struct(*[F.col(c) for c in _EXPENSIVE_INPUT_COLS])
+    ).otherwise(
+        F.struct(*[F.lit("").alias(c) for c in _EXPENSIVE_INPUT_COLS])
+    )
+
+
 def score_expensive(
     df: DataFrame,
     abstract_cutoff: float | None = None,
     gate: "F.Column | None" = None,
+    inputs_struct: "F.Column | None" = None,
 ) -> DataFrame:
     """Append the author + abstract similarity columns to ``df``.
 
     ``gate`` — optional boolean Column: rows where it is false ship EMPTY
     strings through the Arrow boundary (the kernels return instantly and
     the outputs are meaningless for those rows — the caller must not read
-    them). This is how the staged match path pays kernel + transfer cost
-    only for the bound-undecided remainder while staying one linear plan.
+    them). ``inputs_struct`` — a pre-built (possibly gated) input struct
+    column; overrides ``gate``.
     """
     cutoff = _ABSTRACT_CUTOFF if abstract_cutoff is None else abstract_cutoff
     udf = _make_expensive_udf(cutoff)
-    if gate is None:
+    if inputs_struct is not None:
+        inputs = inputs_struct
+    elif gate is None:
         inputs = F.struct(*[F.col(c) for c in _EXPENSIVE_INPUT_COLS])
     else:
-        # ONE conditional on the whole struct — the gate expression is
-        # referenced once, so CollapseProject cannot fan its (large,
-        # rule-bound-derived) tree out into every input column
-        inputs = F.when(
-            gate, F.struct(*[F.col(c) for c in _EXPENSIVE_INPUT_COLS])
-        ).otherwise(
-            F.struct(
-                *[F.lit("").alias(c) for c in _EXPENSIVE_INPUT_COLS]
-            )
-        )
+        inputs = gated_expensive_inputs(gate)
     with_struct = df.withColumn("_esims", udf(inputs))
     return with_struct.select("*", "_esims.*").drop("_esims")
