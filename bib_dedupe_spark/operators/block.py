@@ -347,12 +347,14 @@ def block(
     records_df: DataFrame,
     max_block_size: int | None = 1000,
     cache: bool = True,
+    hot_key_strategy: str = "salt",
 ) -> DataFrame:
     """Full blocking stage → enriched, pruned pair table.
 
     ``cache`` persists the (filtered) prepared records: they feed the key
     explode plus both enrichment joins — without it, an unpersisted prep
     stage would re-run its normalizer UDF pass for every consumer.
+    ``hot_key_strategy`` — see :func:`candidate_pairs`.
     """
     records_df = records_df.filter(F.col(C.TITLE).isNotNull())
     if cache:
@@ -361,7 +363,11 @@ def block(
         records_df = records_df.persist(StorageLevel.MEMORY_AND_DISK)
 
     pairs = candidate_pairs(
-        records_df, max_block_size=max_block_size, cache=cache, prune=True
+        records_df,
+        max_block_size=max_block_size,
+        cache=cache,
+        hot_key_strategy=hot_key_strategy,
+        prune=True,
     )
     return _enrich(pairs, records_df)
 
@@ -401,6 +407,8 @@ def block_delta(
     corpus_records: DataFrame,
     broadcast_batch: bool = True,
     fresh_corpus_keys: DataFrame | None = None,
+    max_block_size: int | None = None,
+    hot_key_strategy: str = "salt",
 ) -> DataFrame:
     """Incremental blocking: batch×batch plus batch×corpus pairs ONLY.
 
@@ -423,13 +431,50 @@ def block_delta(
     (batch side broadcast) so their union does not erase the bucketed
     table's exchange-free property.
 
-    Skew note: no salting is needed here — the quadratic k² blowup of
-    full blocking cannot occur (one side is the batch); a pathological
-    corpus key fans out at most |batch-side matches| × k, which AQE
-    splits. ``corpus_records`` should be the ID-bucketed table so the
-    enrichment joins read co-located buckets.
+    Hot keys — a DEGENERATE key shared corpus-wide (measured in the wild:
+    a webpages adapter collapsing every author to one token) makes the
+    batch×batch join quadratic in |batch ∩ key| and the batch×corpus
+    fan-out grow WITH THE CORPUS, so per-batch cost stops being flat:
+
+    - ``hot_key_strategy="salt"`` (default when ``max_block_size`` set):
+      the within-batch part delegates to :func:`candidate_pairs`' salted
+      self-join (identical pair set, bounded join groups). The crossing
+      fan-out is kept — it is the semantics of ``block(corpus ∪ batch)``
+      — and is spread across index partitions by the broadcast join (or
+      AQE skew-split under SMJ).
+    - ``"drop"``: keys whose COMBINED (corpus + batch [+ fresh])
+      membership exceeds ``max_block_size`` are dropped from BOTH sides —
+      bounded per-batch output, exactly equal to
+      ``block(corpus ∪ batch, max_block_size, "drop")`` restricted to
+      batch-touching pairs (pinned in test_block_salting).
+
+    ``corpus_records`` should be the ID-bucketed table so the enrichment
+    joins read co-located buckets.
     """
     batch_keys = corpus_key_table(batch_prepared)
+
+    if max_block_size is not None and hot_key_strategy == "drop":
+        # combined membership counts: one slim aggregation over the key
+        # tables (2 int/short-string columns), matching the hot set the
+        # combined block-with-drop would compute
+        sides = [batch_keys, corpus_keys]
+        if fresh_corpus_keys is not None:
+            sides.append(fresh_corpus_keys)
+        combined = sides[0].select("rule_idx", "key")
+        for s in sides[1:]:
+            combined = combined.unionByName(s.select("rule_idx", "key"))
+        hot = F.broadcast(
+            combined.groupBy("rule_idx", "key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_block_size)
+            .select("rule_idx", "key")
+        )
+        batch_keys = batch_keys.join(hot, ["rule_idx", "key"], "left_anti")
+        corpus_keys = corpus_keys.join(hot, ["rule_idx", "key"], "left_anti")
+        if fresh_corpus_keys is not None:
+            fresh_corpus_keys = fresh_corpus_keys.join(
+                hot, ["rule_idx", "key"], "left_anti"
+            )
 
     def _side(df: DataFrame, side: str, with_rto: bool) -> DataFrame:
         cols = [
@@ -487,19 +532,35 @@ def block_delta(
     if fresh_corpus_keys is not None:
         crossing = crossing.unionByName(_crossing(fresh_corpus_keys, True))
 
-    raw_pairs = _inline_prune_flags(within.unionByName(crossing))
-    pairs = (
-        raw_pairs.groupBy("ID_1", "ID_2")
-        .agg(
-            F.min("rule_idx").alias("rule_idx"),
-            F.min(F.col("rto").cast("int")).cast("boolean").alias(
-                "require_title_overlap"
-            ),
-            F.first("_title_ok").alias("_title_ok"),
+    def _agg_prune(raw: DataFrame) -> DataFrame:
+        return (
+            _inline_prune_flags(raw)
+            .groupBy("ID_1", "ID_2")
+            .agg(
+                F.min("rule_idx").alias("rule_idx"),
+                F.min(F.col("rto").cast("int")).cast("boolean").alias(
+                    "require_title_overlap"
+                ),
+                F.first("_title_ok").alias("_title_ok"),
+            )
+            .filter(F.col("_title_ok") | ~F.col("require_title_overlap"))
+            .select("ID_1", "ID_2", "rule_idx")
         )
-        .filter(F.col("_title_ok") | ~F.col("require_title_overlap"))
-        .select("ID_1", "ID_2", "rule_idx")
-    )
+
+    if max_block_size is not None and hot_key_strategy == "salt":
+        # within-batch pairs via the salted generator (identical pair
+        # set, bounded join groups); batch×batch and batch×corpus pair
+        # sets are disjoint, so aggregating them separately is exact
+        within_pairs = candidate_pairs(
+            batch_prepared,
+            max_block_size=max_block_size,
+            cache=False,
+            hot_key_strategy="salt",
+            prune=True,
+        )
+        pairs = within_pairs.unionByName(_agg_prune(crossing))
+    else:
+        pairs = _agg_prune(within.unionByName(crossing))
 
     all_records = corpus_records.unionByName(
         batch_prepared.select(*corpus_records.columns)

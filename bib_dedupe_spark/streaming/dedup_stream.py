@@ -219,11 +219,16 @@ def link_batch(
         corpus_keys, fresh_keys = _resolve_corpus_index(
             spark, keys_path, batch_id
         )
+        # max_block_size now applies to EVERY batch, not just batch 0's
+        # full block: the salted within-batch join bounds degenerate-key
+        # groups (pair set unchanged)
         pairs = block_delta(
             prepared_batch,
             corpus_keys,
             corpus.drop("_batch"),
             fresh_corpus_keys=fresh_keys,
+            max_block_size=max_block_size,
+            hot_key_strategy="salt",
         )
     else:
         pairs = block(prepared_batch, max_block_size=max_block_size)

@@ -114,3 +114,105 @@ def test_block_delta_equals_combined_restriction(spark):
     }
     assert got == want
     assert want, "test corpus produced no batch-touching pairs"
+
+
+def _hot_corpus(spark, n_hot=30, n_cold=20):
+    """Records sharing one giant (author_first, year) key + a cold tail."""
+    import pandas as pd
+
+    from bib_dedupe_spark import prep
+
+    rows = []
+    for i in range(n_hot):
+        rows.append(
+            {
+                "ID": f"H{i:03d}",
+                "ENTRYTYPE": "article",
+                "author": "Shared, Sam",
+                "title": f"hot record number {i} on subject {i}",
+                "journal": f"venue {i}",
+                "year": "2021",
+                "volume": str(i),
+                "number": "",
+                "pages": "",
+                "abstract": "",
+                "doi": "",
+            }
+        )
+    for i in range(n_cold):
+        rows.append(
+            {
+                "ID": f"Z{i:03d}",
+                "ENTRYTYPE": "article",
+                "author": f"Cold{i}, Casey",
+                "title": f"cold record {i} entirely different",
+                "journal": "journal of misc",
+                "year": str(1990 + i),
+                "volume": "1",
+                "number": "",
+                "pages": "",
+                "abstract": "",
+                "doi": "",
+            }
+        )
+    return prep(spark.createDataFrame(pd.DataFrame(rows)))
+
+
+def test_block_delta_hot_key_salt_preserves_pairs(spark):
+    """A degenerate key shared corpus-wide: salted delta must reproduce
+    the uncapped delta pair set exactly (salting only bounds join
+    groups, never changes output)."""
+    from bib_dedupe_spark.operators.block import block_delta, corpus_key_table
+
+    prepared = _hot_corpus(spark).persist()
+    corpus = prepared.filter("ID < 'H020' OR ID >= 'Z'")
+    batch = prepared.filter("ID >= 'H020' AND ID < 'Z'")
+    corpus_keys = corpus_key_table(corpus)
+
+    def pairset(df):
+        return {
+            (r["ID_1"], r["ID_2"], r["block_rule"])
+            for r in df.select("ID_1", "ID_2", "block_rule").collect()
+        }
+
+    plain = pairset(block_delta(batch, corpus_keys, corpus))
+    salted = pairset(
+        block_delta(
+            batch, corpus_keys, corpus,
+            max_block_size=5, hot_key_strategy="salt",
+        )
+    )
+    assert salted == plain and plain
+
+
+def test_block_delta_hot_key_drop_matches_combined(spark):
+    """Drop strategy: delta with combined-membership hot detection ==
+    block(corpus ∪ batch, drop) restricted to batch-touching pairs."""
+    from bib_dedupe_spark import block as block_fn
+    from bib_dedupe_spark.operators.block import block_delta, corpus_key_table
+
+    prepared = _hot_corpus(spark).persist()
+    corpus = prepared.filter("ID < 'H020' OR ID >= 'Z'")
+    batch = prepared.filter("ID >= 'H020' AND ID < 'Z'")
+    batch_ids = {r["ID"] for r in batch.select("ID").collect()}
+
+    delta = block_delta(
+        batch, corpus_key_table(corpus), corpus,
+        max_block_size=5, hot_key_strategy="drop",
+    )
+    combined = block_fn(
+        corpus.unionByName(batch), max_block_size=5, hot_key_strategy="drop"
+    )
+    want = {
+        (r["ID_1"], r["ID_2"], r["block_rule"])
+        for r in combined.select("ID_1", "ID_2", "block_rule").collect()
+        if r["ID_1"] in batch_ids or r["ID_2"] in batch_ids
+    }
+    got = {
+        (r["ID_1"], r["ID_2"], r["block_rule"])
+        for r in delta.select("ID_1", "ID_2", "block_rule").collect()
+    }
+    assert got == want
+    # and the hot key really was dropped: no H-H pairs from the hot rule
+    full = block_fn(corpus.unionByName(batch), max_block_size=None)
+    assert full.count() > combined.count()
