@@ -51,16 +51,28 @@ def main() -> None:
     edges_path = f"{work}/edges"
     keys_path = f"{work}/corpus_keys"
 
+    # unique per run: a previous run's orphaned warehouse dir would fail
+    # saveAsTable with LOCATION_ALREADY_EXISTS
+    index_table = "incr_probe_index_" + Path(work).name.split("_")[-1]
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+
     walls = []
     corpus_sizes = []
     for b in range(n_batches):
         chunk = records[b * batch_records : (b + 1) * batch_records]
-        # diverse hosts: author/container keys derive from the host, so a
-        # single host would be one giant hot blocking key (unrealistic)
+        # diverse ALPHABETIC hosts: author/container keys derive from the
+        # host, and prep strips digits — numeric host names collapse every
+        # record to one degenerate author key (the hot-key shape that
+        # test_block_salting's delta hot-key tests now cover explicitly)
+        def _host(rid: str) -> str:
+            return "".join(
+                chr(ord("a") + int(d)) for d in str(hash(rid) % 99991)
+            )
+
         pages = pd.DataFrame(
             {
                 "url": [
-                    f"https://h{hash(r['ID']) % 5000}.org/{r['ID']}"
+                    f"https://{_host(r['ID'])}.org/{r['ID']}"
                     for r in chunk
                 ],
                 "warc_ts": pd.Timestamp("2026-01-01"),
@@ -95,12 +107,14 @@ def main() -> None:
         walls.append(round(time.time() - t0, 2))
         corpus_sizes.append((b + 1) * batch_records)
         if compact_every and (b + 1) % compact_every == 0:
-            compact_corpus_index(
-                spark, keys_path, "incr_probe_index", buckets=16
-            )
+            compact_corpus_index(spark, keys_path, index_table, buckets=16)
         print(f"batch {b}: corpus={corpus_sizes[-1]} wall={walls[-1]}s",
               flush=True)
 
+    if n_batches < 7:
+        raise SystemExit(
+            "need >= 7 batches for disjoint early/late windows"
+        )
     head = sum(walls[1:4]) / 3  # skip batch 0 (no corpus, warmup)
     tail = sum(walls[-3:]) / 3
     out = {
