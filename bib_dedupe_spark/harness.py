@@ -445,6 +445,34 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_quality_funnel(spark, sf_dir):
+    """First-failing-gate filter funnel over documents (webtext).
+
+    The synthetic corpus is clean, so deterministic perturbations are
+    derived per doc_id to exercise every gate: %4==1 truncated to 3
+    words (too_short), %4==2 three words repeated (low_uniq), %4==3
+    vowels digit-substituted (low_alpha); %4==0 untouched."""
+    from bib_dedupe_spark.textops.quality import quality_funnel
+
+    docs = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    v = F.col("doc_id") % 4
+    text2 = (
+        F.when(v == 1, F.array_join(F.slice(words, 1, 3), " "))
+        .when(
+            v == 2,
+            # 12 distinct words x 4 repeats: passes the uniq gate (0.25)
+            # but fails the dup-3-gram gate -> attributes to 'repetitive'
+            F.array_join(
+                F.flatten(F.array_repeat(F.slice(words, 1, 12), 4)), " "
+            ),
+        )
+        .when(v == 3, F.regexp_replace("text", "[aeiou]", "0"))
+        .otherwise(F.col("text"))
+    )
+    return quality_funnel(docs.select("doc_id", text2.alias("text")))
+
+
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization (webtext): pseudo-URLs derived from the
     documents table (mixed case, default port, tracking params, unsorted
@@ -793,6 +821,7 @@ QUERIES = {
     "near_dup_clusters": q_near_dup_clusters,
     "token_stats": q_token_stats,
     "quality_flags": q_quality_flags,
+    "quality_funnel": q_quality_funnel,
     "url_canonical": q_url_canonical,
     "repetition_stats": q_repetition_stats,
     "url_dedup": q_url_dedup,
@@ -1027,6 +1056,37 @@ ORACLES = {
         " CAST(list_sum(list_transform(string_split(text,' '), w -> len(w)))"
         "  AS BIGINT) AS token_chars"
         " FROM documents"
+    ),
+    "quality_funnel": (
+        "WITH perturbed AS (SELECT doc_id,"
+        " CASE CAST(doc_id % 4 AS INT)"
+        "  WHEN 1 THEN array_to_string(string_split(text,' ')[1:3], ' ')"
+        "  WHEN 2 THEN array_to_string(flatten([string_split(text,' ')[1:12]"
+        "   FOR _ IN range(4)]), ' ')"
+        "  WHEN 3 THEN regexp_replace(text, '[aeiou]', '0', 'g')"
+        "  ELSE text END AS text FROM documents), "
+        "base AS (SELECT doc_id, text,"
+        " string_split_regex(text, '\\s+') AS w,"
+        " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws"
+        " FROM perturbed), "
+        "m AS (SELECT doc_id, len(w) AS n_tokens,"
+        " len(list_distinct(w)) * 1.0 / len(w) AS uniq_ratio,"
+        " len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0"
+        "  / greatest(len(text), 1) AS alpha_ratio,"
+        " CASE WHEN len(ws) >= 3 THEN"
+        "  list_transform(generate_series(1, len(ws) - 2),"
+        "   i -> array_to_string(ws[i:i+2], ' '))"
+        "  ELSE CAST([] AS VARCHAR[]) END AS ng FROM base), "
+        "g AS (SELECT doc_id, n_tokens, uniq_ratio, alpha_ratio,"
+        " CASE WHEN len(ng) > 0 THEN"
+        "  (len(ng) - len(list_distinct(ng))) * 1.0 / len(ng)"
+        "  ELSE 0.0 END AS dupf FROM m)"
+        " SELECT CASE WHEN n_tokens < 10 THEN 'too_short'"
+        "  WHEN uniq_ratio < 0.2 THEN 'low_uniq'"
+        "  WHEN alpha_ratio < 0.6 THEN 'low_alpha'"
+        "  WHEN dupf > 0.3 THEN 'repetitive'"
+        "  ELSE 'kept' END AS gate, count(*) AS n_docs"
+        " FROM g GROUP BY 1"
     ),
     "url_canonical": (
         "SELECT doc_id,"

@@ -81,6 +81,58 @@ def quality_scores(
     return scored.withColumn("keep", keep)
 
 
+FUNNEL_GATES = ("too_short", "low_uniq", "low_alpha", "repetitive")
+
+
+def quality_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """First-failing-gate funnel accounting — the per-shard table a
+    training-data filtering pipeline reports.
+
+    Each document is attributed to the FIRST gate it fails (sequential
+    funnel semantics: too_short → low_uniq → low_alpha → repetitive) or
+    to 'kept'. One projection + one partial-aggregable groupBy; every
+    gate is a native column expression (whole-stage codegen), so the
+    funnel costs one scan at any corpus size. Returns (gate, n_docs).
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    n_tokens = F.size(words)
+    uniq_ratio = F.size(F.array_distinct(words)) / n_tokens
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    alpha_ratio = n_alpha / F.greatest(F.length(text_col), F.lit(1))
+
+    wnz = F.filter(words, lambda w: w != "")
+    n_words = F.size(wnz)
+    grams = F.when(
+        n_words >= ngram,
+        F.transform(
+            F.sequence(F.lit(0), n_words - ngram),
+            lambda i: F.array_join(F.slice(wnz, i + 1, ngram), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_ng = F.size(grams)
+    dup_ngram_frac = F.when(
+        n_ng > 0, (n_ng - F.size(F.array_distinct(grams))) / n_ng
+    ).otherwise(F.lit(0.0))
+
+    gate = (
+        F.when(n_tokens < 10, F.lit("too_short"))
+        .when(uniq_ratio < 0.2, F.lit("low_uniq"))
+        .when(alpha_ratio < 0.6, F.lit("low_alpha"))
+        .when(dup_ngram_frac > 0.3, F.lit("repetitive"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        df.select(gate.alias("gate"))
+        .groupBy("gate")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def language_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

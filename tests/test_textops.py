@@ -346,3 +346,26 @@ def test_url_host_matches_stdlib(spark):
         got_q = r["canon"].split("?", 1)[1] if "?" in r["canon"] else ""
         got_params = sorted(p for p in got_q.split("&") if p)
         assert got_params == want_params, (r["url"], r["canon"])
+
+
+def test_quality_funnel(spark):
+    from bib_dedupe_spark.textops.quality import quality_funnel
+
+    docs = spark.createDataFrame(
+        [
+            (1, "too short"),                                # < 10 tokens
+            (2, " ".join(["w"] * 40)),                       # 1 distinct/40
+            (3, " ".join("0101 2323 4545 6767 8989 1212 3434 5656 7878 9090 1111 2222".split())),  # no alpha
+            (4, " ".join(["alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"] * 4)),  # dup 3-grams
+            (5, "this is a perfectly ordinary sentence with plenty of distinct readable words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["gate"]: r["n_docs"] for r in quality_funnel(docs).collect()}
+    assert got == {
+        "too_short": 1,
+        "low_uniq": 1,
+        "low_alpha": 1,
+        "repetitive": 1,
+        "kept": 1,
+    }, got
