@@ -172,25 +172,54 @@ def merge(
         )
 
     out_cols = list(string_cols)
-    apply_cols = [c for c in out_cols if c in functions]
     id_fn = functions.get(C.ID)
 
-    def survive(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(_ROW_ORDER, kind="stable")
-        ids = sorted(pdf[C.ID])
-        keep_id = ids[0]
-        if id_fn is not None:
-            # reference merge.py:210-221: custom ID picker, with fallback
-            # to the first (min) ID when its choice is absent
-            candidate = id_fn(list(ids))
-            if candidate in set(ids):
-                keep_id = candidate
-        keep = pdf[pdf[C.ID] == keep_id].iloc[[0]].copy()
-        for col in apply_cols:
-            keep[col] = functions[col](pdf[col].tolist())
-        return keep[out_cols]
+    # Pack each cluster into ONE array row (sort_array orders by the
+    # leading _row_order field = the reference's sub_df row order), then
+    # run survivorship as a SCALAR Arrow UDF: hundreds of clusters per
+    # Arrow batch instead of applyInPandas' per-group pandas framing —
+    # the per-cluster overhead is a dict loop, not a DataFrame build.
+    packed = to_merge.groupBy(C.COMPONENT).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(_ROW_ORDER).alias("_o"),
+                    *[F.col(c).alias(c) for c in out_cols],
+                )
+            )
+        ).alias("_rows")
+    )
 
-    schema = ", ".join(f"`{c}` string" for c in out_cols)
-    merged = to_merge.groupBy(C.COMPONENT).applyInPandas(survive, schema=schema)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField(c, StringType(), True) for c in out_cols]
+    )
+
+    @F.pandas_udf(out_schema)
+    def _survive_clusters(rows: pd.Series) -> pd.DataFrame:
+        out: dict = {c: [] for c in out_cols}
+        for cluster in rows:
+            ids = sorted(r[C.ID] for r in cluster)
+            keep_id = ids[0]
+            if id_fn is not None:
+                # reference merge.py:210-221: custom ID picker, with
+                # fallback to the first (min) ID when its choice is absent
+                candidate = id_fn(list(ids))
+                if candidate in set(ids):
+                    keep_id = candidate
+            keep = next(r for r in cluster if r[C.ID] == keep_id)
+            for col in out_cols:
+                if col in functions:
+                    out[col].append(
+                        functions[col]([r[col] for r in cluster])
+                    )
+                else:
+                    out[col].append(keep[col])
+        return pd.DataFrame(out, columns=out_cols)
+
+    merged = packed.select(
+        _survive_clusters("_rows").alias("_s")
+    ).select("_s.*")
 
     return untouched.unionByName(merged)
