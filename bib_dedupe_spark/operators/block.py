@@ -488,13 +488,14 @@ def block_delta(
             cols.insert(2, F.col("rto"))
         return df.select(*cols)
 
-    within = (
-        _side(batch_keys, "1", True)
-        .join(_side(batch_keys, "2", False), ["rule_idx", "key"])
-        .filter(F.col("ID_1") < F.col("ID_2"))
-        .select("ID_1", "ID_2", "rule_idx", "rto", "_title_1", "_title_2",
-                "_ss_1", "_ss_2")
-    )
+    def _within() -> DataFrame:
+        return (
+            _side(batch_keys, "1", True)
+            .join(_side(batch_keys, "2", False), ["rule_idx", "key"])
+            .filter(F.col("ID_1") < F.col("ID_2"))
+            .select("ID_1", "ID_2", "rule_idx", "rto", "_title_1",
+                    "_title_2", "_ss_1", "_ss_2")
+        )
 
     def _crossing(index_df: DataFrame, hint_broadcast: bool) -> DataFrame:
         probe = F.broadcast(batch_keys) if hint_broadcast else batch_keys
@@ -560,7 +561,7 @@ def block_delta(
         )
         pairs = within_pairs.unionByName(_agg_prune(crossing))
     else:
-        pairs = _agg_prune(within.unionByName(crossing))
+        pairs = _agg_prune(_within().unionByName(crossing))
 
     all_records = corpus_records.unionByName(
         batch_prepared.select(*corpus_records.columns)
