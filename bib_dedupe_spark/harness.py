@@ -504,6 +504,26 @@ def q_url_canonical(spark, sf_dir):
     )
 
 
+def q_host_profiles(spark, sf_dir):
+    """Per-host crawl profile (volume / re-crawl rate / text mass).
+
+    Pseudo-pages: docs {3k, 3k+1, 3k+2} share one url on host
+    h<3k mod 20>.org — every host re-crawls 2/3 of its captures, so the
+    dup_rate column is non-trivial."""
+    from bib_dedupe_spark.textops.urls import host_profiles
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = F.col("doc_id") - F.col("doc_id") % 3
+    pages = docs.select(
+        F.concat(
+            F.lit("https://h"), (base % 20).cast("string"),
+            F.lit(".org/p/"), base.cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return host_profiles(pages)
+
+
 def q_url_dedup(spark, sf_dir):
     """url-level dedup, first capture wins (min_by groupBy, no window).
 
@@ -825,6 +845,7 @@ QUERIES = {
     "url_canonical": q_url_canonical,
     "repetition_stats": q_repetition_stats,
     "url_dedup": q_url_dedup,
+    "host_profiles": q_host_profiles,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
     "ivf_topk": q_ivf_topk,
@@ -1111,6 +1132,20 @@ ORACLES = {
         " arg_min(doc_id, warc_ts) AS doc_id,"
         " min(warc_ts) AS warc_ts"
         " FROM pages GROUP BY url"
+    ),
+    "host_profiles": (
+        "WITH pages AS (SELECT"
+        " 'h' || CAST((doc_id - doc_id % 3) % 20 AS VARCHAR) || '.org'"
+        "  AS host,"
+        " 'https://h' || CAST((doc_id - doc_id % 3) % 20 AS VARCHAR)"
+        "  || '.org/p/' || CAST(doc_id - doc_id % 3 AS VARCHAR) AS curl,"
+        " len(text) AS chars FROM documents)"
+        " SELECT host, count(*) AS n_pages,"
+        " count(DISTINCT curl) AS n_unique_urls,"
+        " round(1.0 - count(DISTINCT curl) * 1.0 / count(*), 6) AS dup_rate,"
+        " CAST(sum(chars) AS BIGINT) AS total_chars,"
+        " round(avg(chars), 6) AS mean_chars"
+        " FROM pages GROUP BY host"
     ),
     "repetition_stats": (
         "WITH base AS (SELECT doc_id AS doc,"

@@ -93,3 +93,30 @@ def host_doc_counts(pages: DataFrame, url_col: str = "url") -> DataFrame:
         .groupBy("host")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def host_profiles(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-host crawl curation profile: volume, re-crawl rate, text mass.
+
+    The table a crawl pipeline uses to budget hosts (dup-heavy hosts get
+    de-prioritized; text-light hosts get dropped). One groupBy on the
+    host key — partial-aggregable, no window, the 10^12-row shape.
+    Columns: host, n_pages, n_unique_urls, dup_rate (re-crawl fraction),
+    total_chars, mean_chars.
+    """
+    keyed = pages.select(
+        url_host(url_col).alias("host"),
+        normalize_url(url_col).alias("_curl"),
+        F.length(text_col).alias("_chars"),
+    )
+    return keyed.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("_curl").alias("n_unique_urls"),
+        F.round(
+            1.0 - F.countDistinct("_curl") / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.sum("_chars").alias("total_chars"),
+        F.round(F.avg("_chars"), 6).alias("mean_chars"),
+    )

@@ -369,3 +369,24 @@ def test_quality_funnel(spark):
         "repetitive": 1,
         "kept": 1,
     }, got
+
+
+def test_host_profiles(spark):
+    from datetime import datetime
+
+    from bib_dedupe_spark.textops import urls
+
+    rows = [
+        ("https://a.org/x", "hello world text here", datetime(2026, 1, 1)),
+        ("https://a.org/x?utm_source=f", "hello world text here", datetime(2026, 1, 2)),  # re-crawl
+        ("https://a.org/y", "more text", datetime(2026, 1, 1)),
+        ("https://b.org/z", "short", datetime(2026, 1, 1)),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "text", "warc_ts"])
+    prof = {r["host"]: r.asDict() for r in urls.host_profiles(pages).collect()}
+    a = prof["a.org"]
+    assert a["n_pages"] == 3 and a["n_unique_urls"] == 2
+    assert abs(a["dup_rate"] - 1 / 3) < 1e-6
+    assert a["total_chars"] == len(rows[0][1]) * 2 + len(rows[2][1])
+    b = prof["b.org"]
+    assert b["n_pages"] == 1 and b["dup_rate"] == 0.0
