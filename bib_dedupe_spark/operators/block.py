@@ -156,6 +156,7 @@ def candidate_pairs(
     cache: bool = True,
     hot_key_strategy: str = "salt",
     prune: bool = False,
+    surrogate_ids: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (ID_1 < ID_2) with first-rule attribution.
 
@@ -181,10 +182,40 @@ def candidate_pairs(
     The exploded key table feeds several consumers; ``cache`` persists it
     so the upstream prep UDF pass runs once.
     """
+    base = records_df.filter(F.col(C.TITLE).isNotNull())
+
+    id_map = None
+    if surrogate_ids:
+        # 8-byte surrogate ids through the (dominant) pair shuffles: at
+        # web scale the record ID is a URL, and the raw pair stream would
+        # otherwise carry two of them per row. xxhash64 is deterministic;
+        # a collision would silently fuse two records, so its absence is
+        # CHECKED (one aggregation over records — trivial next to pairs)
+        # and the string path is used on the (astronomically rare) hit.
+        id_map = base.select(C.ID, F.xxhash64(C.ID).alias("_nid"))
+        counts_row = id_map.agg(
+            F.countDistinct(C.ID).alias("n_id"),
+            F.countDistinct("_nid").alias("n_nid"),
+        ).first()
+        if counts_row["n_id"] != counts_row["n_nid"]:
+            import warnings
+
+            warnings.warn(
+                "xxhash64 surrogate-id collision detected "
+                f"({counts_row['n_id']} ids -> {counts_row['n_nid']} "
+                "hashes); falling back to string ids for this blocking "
+                "pass",
+                UserWarning,
+                stacklevel=2,
+            )
+            id_map = None
+
     carry = _carry_columns() if prune else []
+    id_col = (
+        F.xxhash64(C.ID).alias(C.ID) if id_map is not None else F.col(C.ID)
+    )
     keys = (
-        records_df.filter(F.col(C.TITLE).isNotNull())
-        .select(C.ID, *carry, F.explode(_key_entries_column()).alias("entry"))
+        base.select(id_col, *carry, F.explode(_key_entries_column()).alias("entry"))
         .select(
             C.ID,
             *(_CARRY if prune else ()),
@@ -305,6 +336,30 @@ def candidate_pairs(
         grouped = grouped.filter(
             F.col("_title_ok") | ~F.col("require_title_overlap")
         ).select("ID_1", "ID_2", "rule_idx")
+    if id_map is not None:
+        # map surviving pairs back to string ids (two joins over the
+        # POST-prune survivors — tiny next to the raw stream) and restore
+        # the reference's string-order pair orientation
+        rest = [c for c in grouped.columns if c not in ("ID_1", "ID_2")]
+        grouped = (
+            grouped.join(
+                id_map.select(
+                    F.col("_nid").alias("ID_1"), F.col(C.ID).alias("_sid_1")
+                ),
+                "ID_1",
+            )
+            .join(
+                id_map.select(
+                    F.col("_nid").alias("ID_2"), F.col(C.ID).alias("_sid_2")
+                ),
+                "ID_2",
+            )
+            .select(
+                F.least("_sid_1", "_sid_2").alias("ID_1"),
+                F.greatest("_sid_1", "_sid_2").alias("ID_2"),
+                *rest,
+            )
+        )
     return grouped
 
 
@@ -348,13 +403,19 @@ def block(
     max_block_size: int | None = 1000,
     cache: bool = True,
     hot_key_strategy: str = "salt",
+    surrogate_ids: bool = True,
 ) -> DataFrame:
     """Full blocking stage → enriched, pruned pair table.
 
     ``cache`` persists the (filtered) prepared records: they feed the key
     explode plus both enrichment joins — without it, an unpersisted prep
     stage would re-run its normalizer UDF pass for every consumer.
-    ``hot_key_strategy`` — see :func:`candidate_pairs`.
+    ``hot_key_strategy`` / ``surrogate_ids`` — see
+    :func:`candidate_pairs`. Surrogate ids default ON here: the raw pair
+    shuffle carries two 8-byte longs instead of two record-id strings
+    (urls at web scale) per row — measured 22% at 93k url-id records,
+    identical pair + attribution sets, collision-checked with a loud
+    string-path fallback.
     """
     records_df = records_df.filter(F.col(C.TITLE).isNotNull())
     if cache:
@@ -368,6 +429,7 @@ def block(
         cache=cache,
         hot_key_strategy=hot_key_strategy,
         prune=True,
+        surrogate_ids=surrogate_ids,
     )
     return _enrich(pairs, records_df)
 

@@ -216,3 +216,33 @@ def test_block_delta_hot_key_drop_matches_combined(spark):
     # and the hot key really was dropped: no H-H pairs from the hot rule
     full = block_fn(corpus.unionByName(batch), max_block_size=None)
     assert full.count() > combined.count()
+
+
+def test_surrogate_ids_equal_string_path(spark):
+    """Surrogate-long blocking must reproduce the string-id pair set and
+    attribution exactly, including string-order pair orientation, on a
+    url-shaped-id corpus."""
+    import pandas as pd
+
+    from bib_dedupe_spark import block as block_fn
+    from bib_dedupe_spark import prep
+
+    from bib_dedupe_spark.sources.synthetic import generate
+
+    records, _ = generate(n_base=150, seed=53, messy=True)
+    for r in records:
+        r["ID"] = f"https://site-{hash(r['ID']) % 97}.org/doc/{r['ID']}"
+    prepared = prep(spark.createDataFrame(pd.DataFrame(records))).persist()
+
+    def pairset(df):
+        return {
+            (r["ID_1"], r["ID_2"], r["block_rule"])
+            for r in df.select("ID_1", "ID_2", "block_rule").collect()
+        }
+
+    plain = pairset(block_fn(prepared, surrogate_ids=False))
+    surr = pairset(block_fn(prepared, surrogate_ids=True))
+    assert surr == plain and plain
+    # orientation: ID_1 < ID_2 in STRING order on every surrogate pair
+    for a, b, _ in surr:
+        assert a < b
