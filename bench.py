@@ -138,6 +138,12 @@ def run_dedupe(spark) -> dict:
         "noop"
     ).mode("overwrite").save()
     t_exact_big = time.time() - t0
+
+    # the staged plan's whole premise, as a number: what fraction of this
+    # load the cheap-sim rule bounds could NOT decide
+    from bib_dedupe_spark.operators.match import staged_decision_stats
+
+    dstats = staged_decision_stats(big_pairs)
     big_pairs.unpersist()
     big_prepared.unpersist()
 
@@ -184,6 +190,9 @@ def run_dedupe(spark) -> dict:
         "exact_match_wall_s": round(t_exact_big, 2),
         "exact_match_pairs_per_s": round(n_big / t_exact_big, 1),
         "staged_speedup_vs_exact_match": round(t_exact_big / t_staged_big, 2),
+        "staged_undecided_frac": round(
+            dstats["undecided"] / max(dstats["total"], 1), 4
+        ),
         "precision": round(quality["precision"], 5),
         "recall": round(quality["recall"], 5),
         "f1": round(quality["f1"], 5),

@@ -198,7 +198,13 @@ def _make_expensive_udf(abstract_cutoff: float):
             [C.AUTHOR, C.ABSTRACT]
         ]
 
-    return _exp_udf
+    # the kernels ARE deterministic; the marker only blocks filter
+    # pushdown through the projection that computes them — without it,
+    # the staged label filter gets substituted below the project and
+    # ExtractPythonUDFs materializes a SECOND ArrowEval of the same UDF
+    # (expensive kernels evaluated twice per row; plan-pinned in
+    # tests/test_match_staged.py::test_staged_plan_shape)
+    return _exp_udf.asNondeterministic()
 
 
 @pandas_udf(CHEAP_STRUCT)

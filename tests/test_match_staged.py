@@ -63,6 +63,38 @@ def test_staged_skips_most_expensive_pairs(spark, pairs):
     )
 
 
+def test_staged_plan_shape(spark, pairs):
+    """Pin the staged plan's architecture: exactly TWO Arrow boundaries
+    (cheap kernels, gated expensive kernels), one in-memory barrier, and
+    no giant-tree duplication signatures (the optimized plan stays small
+    enough to stringify quickly — the CollapseProject blowups of the
+    design iterations produced multi-second plan dumps)."""
+    import time
+
+    out = match_staged(pairs)
+    t0 = time.time()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert time.time() - t0 < 10
+    assert "InMemoryTableScan" in plan
+    # ABOVE the barrier: exactly one Arrow boundary (the gated expensive
+    # kernels); the cheap-kernel boundary lives inside the cached subtree
+    active = plan[: plan.index("InMemoryTableScan")]
+    assert active.count("ArrowEvalPython") == 1, active[:800]
+    # the heavy raw columns must not be cached (slim barrier); the scan's
+    # column list is elided ("... N more fields"), so check the full
+    # cached-relation output instead
+    scan = plan[plan.index("InMemoryTableScan"):]
+    first_line = scan[: scan.index("\n")]
+    assert "abstract_1" not in first_line and "author_full_1" not in first_line
+    # the persisted frame registered by cache_out carries the slim schema
+    caches: list = []
+    match_staged(pairs, cache_out=caches)
+    cols = set(caches[0].columns)
+    caches[0].unpersist()
+    assert "_exp_in" in cols and "_decision" in cols
+    assert not {"abstract_1", "abstract_2", "author_full_1"} & cols
+
+
 # ---- structural invariants the bounds rely on ----------------------------
 
 _UNKNOWN = re.compile(r"\b(author|abstract)\b")
