@@ -149,6 +149,7 @@ def link_batch(
     edges_path: str,
     keys_path: str,
     max_block_size: int | None = 1000,
+    hot_key_strategy: str = "salt",
 ) -> None:
     """Link one micro-batch of pages against the accumulated corpus.
 
@@ -228,10 +229,14 @@ def link_batch(
             corpus.drop("_batch"),
             fresh_corpus_keys=fresh_keys,
             max_block_size=max_block_size,
-            hot_key_strategy="salt",
+            hot_key_strategy=hot_key_strategy,
         )
     else:
-        pairs = block(prepared_batch, max_block_size=max_block_size)
+        pairs = block(
+            prepared_batch,
+            max_block_size=max_block_size,
+            hot_key_strategy=hot_key_strategy,
+        )
 
     # cache_out: the staged match persists an internal stage-1 frame; a
     # long-running stream must release it per batch or caches accumulate
@@ -255,6 +260,7 @@ def run_incremental_linkage(
     edges_path: str,
     checkpoint_dir: str,
     max_block_size: int | None = 1000,
+    hot_key_strategy: str = "salt",
 ):
     """foreachBatch incremental linkage against an accumulating corpus.
 
@@ -279,6 +285,7 @@ def run_incremental_linkage(
             edges_path,
             keys_path,
             max_block_size=max_block_size,
+            hot_key_strategy=hot_key_strategy,
         )
 
     return (

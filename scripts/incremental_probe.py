@@ -2,7 +2,11 @@
 
 Usage: python scripts/incremental_probe.py [n_batches] [batch_records]
        (defaults 10 x 2000; env INCR_COMPACT_EVERY=k compacts the key
-        index into the bucketed table every k batches, 0 = never)
+        index into the bucketed table every k batches, 0 = never;
+        env INCR_HOT=1 switches to DEGENERATE numeric hosts — every
+        record shares one author blocking key, the shape whose
+        batch×corpus fan-out otherwise grows with the corpus — and
+        INCR_HOT_STRATEGY=drop|salt picks the block_delta policy)
 
 Feeds equal-sized record batches through link_batch() against an
 accumulating corpus and reports each batch's wall time. The claim under
@@ -27,6 +31,8 @@ def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     batch_records = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     compact_every = int(os.environ.get("INCR_COMPACT_EVERY", "0"))
+    hot = os.environ.get("INCR_HOT", "") == "1"
+    hot_strategy = os.environ.get("INCR_HOT_STRATEGY", "drop")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
 
     from bib_dedupe_spark.session import get_spark
@@ -65,6 +71,10 @@ def main() -> None:
         # record to one degenerate author key (the hot-key shape that
         # test_block_salting's delta hot-key tests now cover explicitly)
         def _host(rid: str) -> str:
+            if hot:
+                # digits are stripped by prep -> every record collapses
+                # to one degenerate author key (the hot-key shape)
+                return f"h{hash(rid) % 5000}"
             return "".join(
                 chr(ord("a") + int(d)) for d in str(hash(rid) % 99991)
             )
@@ -103,6 +113,7 @@ def main() -> None:
         link_batch(
             batch_df, b, corpus_path, edges_path, keys_path,
             max_block_size=2000,
+            hot_key_strategy=hot_strategy if hot else "salt",
         )
         walls.append(round(time.time() - t0, 2))
         corpus_sizes.append((b + 1) * batch_records)
@@ -121,6 +132,8 @@ def main() -> None:
         "n_batches": n_batches,
         "batch_records": batch_records,
         "compact_every": compact_every,
+        "hot_corpus": hot,
+        "hot_strategy": hot_strategy if hot else None,
         "per_batch_wall_s": walls,
         "early_mean_s": round(head, 2),
         "late_mean_s": round(tail, 2),
