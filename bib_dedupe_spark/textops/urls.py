@@ -25,17 +25,29 @@ _TRACKING = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased host (authority without port/userinfo)."""
+    """Lowercased host (authority without port/userinfo).
+
+    IPv6 literals keep their brackets (`[2001:db8::1]`) — the colon
+    inside brackets is part of the address, not a port separator.
+    """
     c = F.col(url) if isinstance(url, str) else url
     return F.lower(
-        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/]*@)?([^/:?#]+)", 1)
+        F.regexp_extract(
+            c,
+            r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/]*@)?(\[[^\]]*\]|[^/:?#]+)",
+            1,
+        )
     )
 
 
 def url_port(url: Column | str) -> Column:
-    """Explicit port string ('' when absent)."""
+    """Explicit port string ('' when absent); IPv6-bracket aware."""
     c = F.col(url) if isinstance(url, str) else url
-    return F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/]*@)?[^/:?#]+:(\d+)", 1)
+    return F.regexp_extract(
+        c,
+        r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/]*@)?(?:\[[^\]]*\]|[^/:?#]+):(\d+)",
+        1,
+    )
 
 
 def normalize_url(url: Column | str) -> Column:

@@ -390,3 +390,33 @@ def test_host_profiles(spark):
     assert a["total_chars"] == len(rows[0][1]) * 2 + len(rows[2][1])
     b = prof["b.org"]
     assert b["n_pages"] == 1 and b["dup_rate"] == 0.0
+
+
+def test_url_ipv6_hosts(spark):
+    """IPv6 bracket literals: colons inside brackets are address chars,
+    not port separators; default-port stripping still applies."""
+    from bib_dedupe_spark.textops import urls
+
+    df = spark.createDataFrame(
+        [
+            ("http://[::1]:8080/x",),
+            ("HTTP://[2001:DB8::1]:80/path",),
+            ("https://[2001:db8::1]:443/p",),
+            ("http://user@[::1]:9/x",),
+        ],
+        ["url"],
+    )
+    got = {
+        r["url"]: (r["h"], r["c"])
+        for r in df.select(
+            "url",
+            urls.url_host("url").alias("h"),
+            urls.normalize_url("url").alias("c"),
+        ).collect()
+    }
+    assert got["http://[::1]:8080/x"] == ("[::1]", "http://[::1]:8080/x")
+    assert got["HTTP://[2001:DB8::1]:80/path"] == (
+        "[2001:db8::1]", "http://[2001:db8::1]/path")
+    assert got["https://[2001:db8::1]:443/p"] == (
+        "[2001:db8::1]", "https://[2001:db8::1]/p")
+    assert got["http://user@[::1]:9/x"] == ("[::1]", "http://[::1]:9/x")
