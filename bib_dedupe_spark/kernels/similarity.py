@@ -131,6 +131,24 @@ def sim_page(p1: str, p2: str) -> float:
     return fuzz.token_sort_ratio(first1, first2) / 100
 
 
+@lru_cache(maxsize=8192)
+def _title_digits(t: str) -> tuple:
+    return tuple(_RE_DIGIT_RUN.findall(t))
+
+
+@lru_cache(maxsize=8192)
+def _title_gate_tags(t: str) -> tuple:
+    """(part, effect, treatment, patients) regex captures — pure per-side
+    function; each record participates in ~10 pairs, so caching the
+    scans amortizes the gate cost across its pairs."""
+    return (
+        tuple(_RE_PART_TAG.findall(t)),
+        tuple(_RE_EFFECT_OF.findall(t)),
+        tuple(_RE_TREATMENT_OF.findall(t)),
+        tuple(_RE_PATIENTS.findall(t)),
+    )
+
+
 def sim_title(raw1: str, raw2: str) -> float:
     """Title similarity with hard-0/hard-1 gates before the fuzzy score."""
     t1 = str(raw1)
@@ -158,8 +176,8 @@ def sim_title(raw1: str, raw2: str) -> float:
     if "[" in t2:
         t2 = _RE_FORMULA_BRACKET.sub("", t2)
 
-    digits1 = _RE_DIGIT_RUN.findall(t1)
-    digits2 = _RE_DIGIT_RUN.findall(t2)
+    digits1 = _title_digits(t1)
+    digits2 = _title_digits(t2)
     if (
         digits1 != digits2
         and "".join(digits1) != "".join(digits2)
@@ -172,13 +190,15 @@ def sim_title(raw1: str, raw2: str) -> float:
             return 0.0
 
     if any(term in t1 for term in ("part", "effect", "treatment")):
-        if _RE_PART_TAG.findall(t1) != _RE_PART_TAG.findall(t2) and len(digits1) < 3:
+        part1, eff1, trt1, pat1 = _title_gate_tags(t1)
+        part2, eff2, trt2, pat2 = _title_gate_tags(t2)
+        if part1 != part2 and len(digits1) < 3:
             return 0.0
-        if _RE_EFFECT_OF.findall(t1) != _RE_EFFECT_OF.findall(t2):
+        if eff1 != eff2:
             return 0.0
-        if _RE_TREATMENT_OF.findall(t1) != _RE_TREATMENT_OF.findall(t2):
+        if trt1 != trt2:
             return 0.0
-        if _RE_PATIENTS.findall(t1) != _RE_PATIENTS.findall(t2):
+        if pat1 != pat2:
             return 0.0
 
     if t1.endswith(t2) or t2.endswith(t1):
