@@ -74,7 +74,18 @@ def rule_name(fields: tuple) -> str:
 
 
 def _key_entries_column():
-    """Array column of (rule_idx, rto, key) structs, one per passing rule."""
+    """Array column of (rule_idx, rto, key) structs, one per passing rule.
+
+    Memoized per JVM gateway: building this Column costs ~0.5 s of py4j
+    round-trips, and streaming rebuilds the blocking plan every
+    micro-batch (profiled as a top per-batch fixed cost).
+    """
+    from bib_dedupe_spark.plancache import cached_fragment
+
+    return cached_fragment("block._key_entries_column", _build_key_entries)
+
+
+def _build_key_entries():
     entries = []
     for idx, (fields, rto) in enumerate(BLOCKING_RULES):
         parts = [F.coalesce(F.col(f), F.lit(_NULL_KEY)) for f in fields]
@@ -100,12 +111,17 @@ _CARRY = ("_title", "_tok", "_ss")
 
 def _carry_columns():
     """Per-record pruning payload carried through the key table."""
-    title = F.col(C.TITLE)
-    return [
-        title.alias("_title"),
-        F.filter(F.split(title, " "), lambda x: x != "").alias("_tok"),
-        F.col(C.SEARCH_SET).alias("_ss"),
-    ]
+    from bib_dedupe_spark.plancache import cached_fragment
+
+    def _build():
+        title = F.col(C.TITLE)
+        return [
+            title.alias("_title"),
+            F.filter(F.split(title, " "), lambda x: x != "").alias("_tok"),
+            F.col(C.SEARCH_SET).alias("_ss"),
+        ]
+
+    return cached_fragment("block._carry_columns", _build)
 
 
 def _inline_prune_flags(df: DataFrame) -> DataFrame:
@@ -244,9 +260,27 @@ def candidate_pairs(
         counts = keys.groupBy("rule_idx", "key").agg(
             F.count("*").alias("_block_n")
         )
-        # persist: the hot table feeds BOTH the anti-join and the salt
-        # join; without it each broadcast re-runs the full key aggregation
-        hot = counts.filter(F.col("_block_n") > max_block_size).persist()
+        # The hot table feeds BOTH the anti-join and the salt join. It is
+        # already constrained to broadcast size (each consumer broadcasts
+        # it), so materialize it to the DRIVER once and rebuild it as a
+        # local relation: the aggregation runs a single time and no cache
+        # entry outlives this call — streaming calls block()/block_delta()
+        # per micro-batch, and a persist() here used to leak one cached
+        # frame per batch. When no key is hot (the common case) the anti-
+        # join and salt machinery are skipped entirely.
+        hot_rows = counts.filter(
+            F.col("_block_n") > max_block_size
+        ).collect()
+        hot = (
+            records_df.sparkSession.createDataFrame(
+                hot_rows, schema=counts.schema
+            )
+            if hot_rows
+            else None
+        )
+    else:
+        hot = None
+    if hot is not None:
         keys_cold = keys.join(
             F.broadcast(hot.select("rule_idx", "key")),
             ["rule_idx", "key"],

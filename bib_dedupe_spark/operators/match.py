@@ -19,6 +19,7 @@ tests/test_match_staged.py differential parity).
 """
 from __future__ import annotations
 
+import re
 from functools import lru_cache
 
 from pyspark.sql import DataFrame
@@ -30,6 +31,40 @@ from bib_dedupe_spark import rules
 from bib_dedupe_spark.operators import sim
 
 EDGE_COLUMNS = ["ID_1", "search_set_1", "search_set_2", "ID_2", C.DUPLICATE_LABEL]
+
+# raw columns the staged path drops before the persist barrier (their
+# payload is gated into _exp_in); stage-2 rule SQL must not read them
+_DROPPED_RAW = (
+    "author_1",
+    "author_2",
+    "author_full_1",
+    "author_full_2",
+    "abstract_1",
+    "abstract_2",
+)
+_DROPPED_RAW_RE = re.compile(
+    r"\b(?:author(?:_full)?_[12]|abstract_[12])\b"
+)
+
+
+def _stage2_reads_dropped_raw(
+    duplicate_conditions: tuple | None,
+    non_duplicate_conditions: tuple | None,
+) -> bool:
+    """True if the staged stage-2 label SQL would reference a raw column
+    the barrier drops.
+
+    The default rule set's raw author/abstract fragments are all factored
+    into stage-1 piece flags, but a custom rule like
+    ``author > 0.9 AND author_full_1 <> ''`` is monotone in the sims yet
+    keeps a raw reference in the rewritten duplicate/maybe SQL — running
+    it staged would fail post-barrier with an unresolved column. (Vetoes
+    are immune: stage 2 reuses the cached exact ``_veto`` boolean.)
+    """
+    _, _, dup_rw, _veto_rw, maybe_rw = _staged_plan_sql(
+        duplicate_conditions, non_duplicate_conditions
+    )
+    return bool(_DROPPED_RAW_RE.search(dup_rw + " " + maybe_rw))
 
 
 def match(
@@ -82,6 +117,11 @@ def match(
                 for v in (
                     non_duplicate_conditions or rules.NON_DUPLICATE_CONDITIONS
                 )
+            ) and not _stage2_reads_dropped_raw(
+                tuple(duplicate_conditions) if duplicate_conditions else None,
+                tuple(non_duplicate_conditions)
+                if non_duplicate_conditions
+                else None,
             )
         else:
             staged = persist
@@ -101,6 +141,18 @@ def match(
                 "references are monotone (`> t`, `>= t`, `= 1.0`, no NOT) "
                 "and vetoes that do not read those sims; pass staged=False "
                 "for full scoring"
+            )
+        if _stage2_reads_dropped_raw(
+            tuple(duplicate_conditions) if duplicate_conditions else None,
+            tuple(non_duplicate_conditions)
+            if non_duplicate_conditions
+            else None,
+        ):
+            raise ValueError(
+                "staged=True: a duplicate/maybe rule reads a raw "
+                "author/abstract column (author_1/2, author_full_1/2, "
+                "abstract_1/2) that the staged barrier drops; pass "
+                "staged=False for full scoring"
             )
     if staged:
         return match_staged(
@@ -171,6 +223,37 @@ def _staged_plan_sql(
     )
 
 
+def _staged_plan_cols(
+    duplicate_conditions: tuple | None,
+    non_duplicate_conditions: tuple | None,
+):
+    """Parsed Column objects for the staged plan, memoized per gateway.
+
+    The SQL strings were already lru_cached (_staged_plan_sql), but
+    parsing them into JVM expression trees cost ~1 s of driver time per
+    call — a per-micro-batch fixed cost in streaming. Unresolved Columns
+    are immutable and reusable across DataFrames, so build them once per
+    rule set per JVM.
+    """
+    from bib_dedupe_spark.plancache import cached_fragment
+
+    def _build():
+        cheap_pieces, bound_cols, dup_rw, _veto_rw, maybe_rw = (
+            _staged_plan_sql(duplicate_conditions, non_duplicate_conditions)
+        )
+        return (
+            {name: F.expr(sql) for name, sql in cheap_pieces.items()},
+            {name: F.expr(sql) for name, sql in bound_cols.items()},
+            F.expr(dup_rw),
+            F.expr(maybe_rw),
+        )
+
+    return cached_fragment(
+        ("match.staged_cols", duplicate_conditions, non_duplicate_conditions),
+        _build,
+    )
+
+
 def match_staged(
     pairs_df: DataFrame,
     abstract_cutoff: float | None = None,
@@ -207,8 +290,8 @@ def match_staged(
     MUST unpersist those after consuming the result, or caches
     accumulate per batch.
     """
-    cheap_pieces, bound_cols, dup_rw, veto_fire_rw, maybe_rw = (
-        _staged_plan_sql(
+    cheap_piece_cols, bound_col_cols, dup_rw_col, maybe_rw_col = (
+        _staged_plan_cols(
             tuple(duplicate_conditions) if duplicate_conditions else None,
             tuple(non_duplicate_conditions)
             if non_duplicate_conditions
@@ -230,12 +313,8 @@ def match_staged(
     )
 
     df = sim.score_cheap(pairs_df)
-    df = df.withColumns(
-        {name: F.expr(sql) for name, sql in cheap_pieces.items()}
-    )
-    df = df.withColumns(
-        {name: F.expr(sql) for name, sql in bound_cols.items()}
-    )
+    df = df.withColumns(cheap_piece_cols)
+    df = df.withColumns(bound_col_cols)
     df = df.withColumn("_decision", decision)
     # gate the expensive-kernel inputs BEFORE the persist: decided rows
     # store '' in the struct, and the heavy raw author/abstract columns
@@ -245,13 +324,11 @@ def match_staged(
         "_exp_in",
         sim.gated_expensive_inputs(F.col("_decision") == "undecided"),
     ).drop(
-        *bound_cols.keys(),
-        "author_1",
-        "author_2",
-        "author_full_1",
-        "author_full_2",
-        "abstract_1",
-        "abstract_2",
+        # _veto stays: it is exact in stage 1 (vetoes read no expensive
+        # sim), so the stage-2 label reuses the cached boolean instead of
+        # re-evaluating the veto SQL against raw columns dropped below
+        *(k for k in bound_col_cols if k != "_veto"),
+        *_DROPPED_RAW,
     )
     # MATERIALIZATION BARRIER — load-bearing, not an optimization knob:
     # PythonUDF is a plain expression, so without this persist
@@ -280,11 +357,11 @@ def match_staged(
         F.when(F.col("_decision") == C.DUPLICATE, F.lit(C.DUPLICATE))
         .when(F.col("_decision") == C.MAYBE, F.lit(C.MAYBE))
         .when(
-            und & F.expr(dup_rw) & ~F.expr(veto_fire_rw),
+            und & dup_rw_col & ~F.col("_veto"),
             F.lit(C.DUPLICATE),
         )
         .when(
-            und & F.expr(maybe_rw),
+            und & maybe_rw_col,
             F.lit(C.MAYBE),
         )
     )

@@ -10,6 +10,8 @@ shuffle on the component key.
 The per-column reducers consume values in input-row order (the reference's
 ``sub_df`` order); callers may provide a ``_row_order`` column to pin that
 order, otherwise rows are ordered by ID (deterministic at any scale).
+``_row_order`` values should be UNIQUE per row; ties are broken
+deterministically by ID (not by input arrival order).
 Reducers are pluggable via ``merge_functions`` exactly like the reference.
 """
 from __future__ import annotations
@@ -179,11 +181,18 @@ def merge(
     # run survivorship as a SCALAR Arrow UDF: hundreds of clusters per
     # Arrow batch instead of applyInPandas' per-group pandas framing —
     # the per-cluster overhead is a dict loop, not a DataFrame build.
+    # The second struct field pins ties: the auto-generated _row_order is
+    # unique, but a CALLER-supplied one may carry duplicates, and without
+    # an explicit secondary key sort_array would tie-break on arbitrary
+    # payload-column order (nondeterministic survivor vs the stable-sort
+    # pandas path it replaced). ID makes equal-_row_order ordering
+    # deterministic and documented.
     packed = to_merge.groupBy(C.COMPONENT).agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
                     F.col(_ROW_ORDER).alias("_o"),
+                    F.col(C.ID).alias("_tie"),
                     *[F.col(c).alias(c) for c in out_cols],
                 )
             )

@@ -37,22 +37,35 @@ _SENTINELS = ("#NAME?", "UNKNOWN")
 
 
 def _clean_column(df: DataFrame, name: str) -> Column:
-    """Cast to string, fix float artifacts, sweep sentinel values."""
-    col = F.col(name)
-    if isinstance(df.schema[name].dataType, (DoubleType, FloatType)):
-        # avoid "3.0" string artifacts from float-typed inputs
-        col = F.when(col.isNull(), "").otherwise(
-            col.cast("long").cast("string")
-        )
-    else:
-        col = col.cast("string")
-    base = F.coalesce(col, F.lit(""))
-    # ONE flat CASE (conditions are all full-cell tests on the same base
-    # value — never nest when().otherwise(prev): the tree doubles per step)
-    cleaned = F.when(base.isin(*_SENTINELS), "")
-    for old, new in _CELL_REPLACEMENTS.items():
-        cleaned = cleaned.when(base == old, new)
-    return cleaned.otherwise(base).alias(name)
+    """Cast to string, fix float artifacts, sweep sentinel values.
+
+    Memoized on (name, is_float) per JVM gateway: the flat CASE over the
+    replacement table costs py4j round-trips per build, and streaming
+    rebuilds the prep plan every micro-batch.
+    """
+    from bib_dedupe_spark.plancache import cached_fragment
+
+    is_float = isinstance(df.schema[name].dataType, (DoubleType, FloatType))
+
+    def _build() -> Column:
+        col = F.col(name)
+        if is_float:
+            # avoid "3.0" string artifacts from float-typed inputs
+            col = F.when(col.isNull(), "").otherwise(
+                col.cast("long").cast("string")
+            )
+        else:
+            col = col.cast("string")
+        base = F.coalesce(col, F.lit(""))
+        # ONE flat CASE (conditions are all full-cell tests on the same
+        # base value — never nest when().otherwise(prev): the tree
+        # doubles per step)
+        cleaned = F.when(base.isin(*_SENTINELS), "")
+        for old, new in _CELL_REPLACEMENTS.items():
+            cleaned = cleaned.when(base == old, new)
+        return cleaned.otherwise(base).alias(name)
+
+    return cached_fragment(("prep._clean_column", name, is_float), _build)
 
 
 def _map_unique(series: pd.Series, fn) -> pd.Series:

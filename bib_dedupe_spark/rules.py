@@ -330,11 +330,13 @@ def validate_abstract_cutoff(conditions, cutoff: float) -> None:
     decided identically by the banded kernel's lower-bound contract.
 
     The sim stage computes ``sim_abstract`` with a partial-ratio cutoff:
-    values above ``cutoff`` are exact, values below are lower bounds.
-    A comparison `abstract > t` (or `>= t`, `= 1.0`) with t >= cutoff is
-    therefore unaffected; any comparison against a threshold BELOW the
-    cutoff (or any `<`/`<=`/`!=` form, which a lower bound can flip)
-    could silently change under banding. Callers with such rules must
+    values STRICTLY above ``cutoff`` are exact, values at or below it may
+    be lower bounds. `abstract > t` with t >= cutoff is therefore
+    unaffected, and `>= t` / `= t` need t strictly above the cutoff (a
+    true sim exactly at the cutoff can be reported as a lower bound,
+    flipping those forms from fire to no-fire); any comparison against a
+    threshold below the cutoff (or any `<`/`<=`/`!=` form, which a lower
+    bound can flip) could silently change under banding. Callers with such rules must
     request exact scoring (``abstract_cutoff=0.0``).
     """
     for cond in conditions:
@@ -353,9 +355,14 @@ def validate_abstract_cutoff(conditions, cutoff: float) -> None:
                 "for exact abstract similarities."
             )
         for op, val in hits:
-            safe = (
-                op in (">", ">=") and val >= cutoff
-            ) or (op == "=" and val >= cutoff)
+            # the kernel contract is exact only STRICTLY above the
+            # cutoff (the Lipschitz prunes compare <= cutoff*len1, so a
+            # true sim exactly AT the cutoff may come back as a lower
+            # bound): `> t` tolerates t == cutoff, but `>= t` and `= t`
+            # need t strictly above it
+            safe = (op == ">" and val >= cutoff) or (
+                op in (">=", "=") and val > cutoff
+            )
             if not safe:
                 raise ValueError(
                     f"rule compares abstract sim with '{op} {val}', below "

@@ -18,6 +18,24 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# path -> StructType of the parquet sink, filled in after the first read.
+# Passing the schema explicitly on subsequent micro-batch reads skips the
+# footer-sampling schema-inference job spark.read.parquet launches per
+# call — profiled at ~2 s per read (×2 reads per batch), the single
+# largest per-batch fixed cost in link_batch.
+_READ_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet_cached_schema(spark, path: str) -> DataFrame:
+    reader = spark.read
+    cached = _READ_SCHEMA_CACHE.get(path)
+    if cached is not None:
+        reader = reader.schema(cached)
+    df = reader.parquet(path)
+    if cached is None:
+        _READ_SCHEMA_CACHE[path] = df.schema
+    return df
+
 
 def stream_exact_dedup(
     pages_stream: DataFrame,
@@ -128,7 +146,9 @@ def _resolve_corpus_index(spark, keys_path: str, batch_id: int):
     from pathlib import Path
 
     manifest_file = Path(keys_path) / "_compaction.json"
-    raw = spark.read.parquet(keys_path).filter(F.col("_batch") != batch_id)
+    raw = _read_parquet_cached_schema(spark, keys_path).filter(
+        F.col("_batch") != batch_id
+    )
     if not manifest_file.is_file():
         return raw, None
     manifest = json.loads(manifest_file.read_text())
@@ -191,10 +211,10 @@ def link_batch(
     try:
         # exclude this batch's own (possibly partial, failed-attempt)
         # partition: a retry must see the pre-batch corpus
-        corpus = spark.read.parquet(corpus_path).filter(
+        corpus = _read_parquet_cached_schema(spark, corpus_path).filter(
             F.col("_batch") != batch_id
         )
-        if corpus.limit(1).count() == 0:
+        if _corpus_is_empty(corpus, corpus_path, batch_id):
             corpus = None
     except Exception:
         corpus = None
@@ -205,53 +225,87 @@ def link_batch(
         prepared_batch = prepared_batch.join(
             corpus.select("ID"), "ID", "left_anti"
         )
+
+    # the prepared batch feeds FOUR consumers (the delta-block key join +
+    # enrichment, the corpus write, and the key-index write) — without a
+    # persist each one re-runs the prep Arrow UDF over the batch
+    from pyspark.storagelevel import StorageLevel
+
+    prepared_batch = prepared_batch.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
         if prepared_batch.limit(1).count() == 0:
+            # nothing new in this batch (all urls already linked)
             return
 
-    if corpus is not None:
-        # delta blocking against the persisted key INDEX: candidate
-        # generation is batch-keys (broadcast) ⋈ corpus_keys — the
-        # corpus is never re-exploded, and corpus-internal pairs
-        # (handled by earlier batches) are never regenerated. When a
-        # compaction manifest exists, the bulk of the index comes from
-        # the (rule_idx, key)-bucketed table and only the newer appends
-        # are read from parquet (small-files fix + exchange-free join
-        # shape for non-broadcast batches).
-        corpus_keys, fresh_keys = _resolve_corpus_index(
-            spark, keys_path, batch_id
-        )
-        # max_block_size now applies to EVERY batch, not just batch 0's
-        # full block: the salted within-batch join bounds degenerate-key
-        # groups (pair set unchanged)
-        pairs = block_delta(
-            prepared_batch,
-            corpus_keys,
-            corpus.drop("_batch"),
-            fresh_corpus_keys=fresh_keys,
-            max_block_size=max_block_size,
-            hot_key_strategy=hot_key_strategy,
-        )
-    else:
-        pairs = block(
-            prepared_batch,
-            max_block_size=max_block_size,
-            hot_key_strategy=hot_key_strategy,
-        )
+        if corpus is not None:
+            # delta blocking against the persisted key INDEX: candidate
+            # generation is batch-keys (broadcast) ⋈ corpus_keys — the
+            # corpus is never re-exploded, and corpus-internal pairs
+            # (handled by earlier batches) are never regenerated. When a
+            # compaction manifest exists, the bulk of the index comes from
+            # the (rule_idx, key)-bucketed table and only the newer
+            # appends are read from parquet (small-files fix +
+            # exchange-free join shape for non-broadcast batches).
+            corpus_keys, fresh_keys = _resolve_corpus_index(
+                spark, keys_path, batch_id
+            )
+            # max_block_size now applies to EVERY batch, not just batch
+            # 0's full block: the salted within-batch join bounds
+            # degenerate-key groups (pair set unchanged)
+            pairs = block_delta(
+                prepared_batch,
+                corpus_keys,
+                corpus.drop("_batch"),
+                fresh_corpus_keys=fresh_keys,
+                max_block_size=max_block_size,
+                hot_key_strategy=hot_key_strategy,
+            )
+        else:
+            pairs = block(
+                prepared_batch,
+                max_block_size=max_block_size,
+                hot_key_strategy=hot_key_strategy,
+            )
 
-    # cache_out: the staged match persists an internal stage-1 frame; a
-    # long-running stream must release it per batch or caches accumulate
-    batch_caches: list = []
-    matched = match(pairs, cache_out=batch_caches)
-    matched.write.mode("overwrite").parquet(f"{edges_path}/_batch={batch_id}")
-    prepared_batch.write.mode("overwrite").parquet(
-        f"{corpus_path}/_batch={batch_id}"
-    )
-    # maintain the blocking-key index alongside the corpus
-    corpus_key_table(prepared_batch).write.mode("overwrite").parquet(
-        f"{keys_path}/_batch={batch_id}"
-    )
-    for df in batch_caches:
-        df.unpersist()
+        # cache_out: the staged match persists an internal stage-1 frame;
+        # a long-running stream must release it per batch or caches
+        # accumulate
+        batch_caches: list = []
+        matched = match(pairs, cache_out=batch_caches)
+        matched.write.mode("overwrite").parquet(
+            f"{edges_path}/_batch={batch_id}"
+        )
+        prepared_batch.write.mode("overwrite").parquet(
+            f"{corpus_path}/_batch={batch_id}"
+        )
+        # maintain the blocking-key index alongside the corpus
+        corpus_key_table(prepared_batch).write.mode("overwrite").parquet(
+            f"{keys_path}/_batch={batch_id}"
+        )
+        for df in batch_caches:
+            df.unpersist()
+    finally:
+        prepared_batch.unpersist()
+
+
+def _corpus_is_empty(corpus: DataFrame, corpus_path: str, batch_id: int) -> bool:
+    """Is the (batch-excluded) corpus empty — without a Spark job if
+    possible.
+
+    The corpus sink is ``_batch=<id>``-partitioned and only non-empty
+    batches are written, so on a local filesystem the partition
+    directories answer exactly; remote/object-store paths fall back to
+    the one-row Spark probe (a per-batch job, ~0.5 s driver latency).
+    """
+    import os
+
+    if os.path.isdir(corpus_path):
+        own = f"_batch={batch_id}"
+        return not any(
+            e.name.startswith("_batch=") and e.name != own
+            for e in os.scandir(corpus_path)
+        )
+    return corpus.limit(1).count() == 0
 
 
 def run_incremental_linkage(

@@ -246,3 +246,18 @@ def test_surrogate_ids_equal_string_path(spark):
     # orientation: ID_1 < ID_2 in STRING order on every surrogate pair
     for a, b, _ in surr:
         assert a < b
+
+
+def test_candidate_pairs_leaves_no_cache_behind(spark, skewed_prepared):
+    """The hot-key table is driver-materialized, not persist()ed: streaming
+    calls block()/block_delta() per micro-batch, and a lingering cached
+    frame per call accumulates forever (ADVICE r3). After a salted run
+    with cache=False, no NEW RDD may remain in the block manager."""
+    skewed_prepared.count()  # settle the fixture's own persist
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    candidate_pairs(
+        skewed_prepared, max_block_size=10, cache=False
+    ).count()
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert after == before

@@ -234,3 +234,56 @@ def test_match_rejects_low_custom_abstract_rule(spark, pairs):
         abstract_cutoff=0.0,
     )
     out.count()  # plan must execute
+
+
+# ---- staged barrier drops raw columns: stage-2 SQL must not read them ----
+
+
+def test_custom_rule_reading_raw_author_falls_back(spark, pairs):
+    """A rule monotone in the sims but reading a RAW author column (legal
+    on the full path) must not route staged — the barrier drops
+    author_full_* before stage 2 resolves the label expression. Auto
+    routing falls back to full scoring; explicit staged=True raises."""
+    raw_rule = [
+        "author > 0.9 AND author_full_1 <> '' AND author_full_2 <> ''"
+    ]
+    out = match(pairs, duplicate_conditions=raw_rule)
+    out.count()  # would AnalysisException on the staged path
+    assert _edges(out) == _edges(
+        match(pairs, duplicate_conditions=raw_rule, staged=False)
+    )
+    with pytest.raises(ValueError, match="raw"):
+        match(pairs, duplicate_conditions=raw_rule, staged=True)
+
+
+def test_custom_veto_reading_raw_author_still_staged(spark, pairs):
+    """Vetoes may read raw author/abstract columns: _veto is computed
+    exactly in stage 1 and CACHED through the barrier, so stage 2 never
+    re-reads the raw columns. Such a rule set stays on the staged path
+    with edge parity."""
+    from bib_dedupe_spark.operators.match import _stage2_reads_dropped_raw
+
+    veto = ["author_full_1 <> author_full_2 AND year_1 <> year_2"]
+    assert not _stage2_reads_dropped_raw(None, tuple(veto))
+    assert _edges(match(pairs, non_duplicate_conditions=veto)) == _edges(
+        match(pairs, non_duplicate_conditions=veto, staged=False)
+    )
+
+
+def test_default_rules_stage2_free_of_dropped_raw():
+    """The default rule set's raw author/abstract fragments must all be
+    factored into stage-1 piece flags — the staged default path depends
+    on it (the barrier drops the raw columns)."""
+    from bib_dedupe_spark.operators.match import _stage2_reads_dropped_raw
+
+    assert not _stage2_reads_dropped_raw(None, None)
+
+
+@pytest.mark.parametrize("at_cutoff", ["abstract >= 0.8", "abstract = 0.8"])
+def test_validate_abstract_cutoff_strict_at_boundary(at_cutoff):
+    """The kernel is exact only STRICTLY above the cutoff; `>=`/`=` with
+    the threshold exactly AT it can flip fire→no-fire and must reject.
+    `> cutoff` remains safe."""
+    with pytest.raises(ValueError, match="abstract"):
+        rules.validate_abstract_cutoff([at_cutoff], 0.8)
+    rules.validate_abstract_cutoff(["abstract > 0.8"], 0.8)

@@ -142,3 +142,34 @@ def test_merge_custom_id_function(spark):
         ).collect()
     }
     assert set(rows) == {"b", "d"}
+
+
+def test_merge_duplicate_row_order_ties_break_on_id(spark):
+    """_row_order should be unique, but a caller-supplied column with
+    duplicates must still give a DETERMINISTIC value order: ties break on
+    ID (the struct's explicit secondary sort key), pinned here via the
+    order-sensitive origin reducer."""
+    records = spark.createDataFrame(
+        [
+            ("b", "from_b", "0"),
+            ("a", "from_a", "0"),
+            ("c", "from_c", "0"),
+        ],
+        ["ID", "origin", "_row_order"],
+    )
+    components = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], ["ID", "component"]
+    )
+    for _ in range(3):  # stable across plan re-executions
+        row = (
+            merge(
+                records,
+                components,
+                # order-sensitive reducer (the default origin reducer
+                # sorts, which would mask a nondeterministic row order)
+                merge_functions={"origin": lambda vs: "|".join(vs)},
+            )
+            .collect()[0]
+            .asDict()
+        )
+        assert row["origin"] == "from_a|from_b|from_c"
