@@ -101,19 +101,43 @@ def _read_variants_csv(p: Path) -> dict:
         return _parse_variants(fh)
 
 
-def _read_bundled_variants() -> dict:
+def _read_bundled_data(name: str) -> str:
     # plain checkout first; importlib.resources covers the
     # spark-submit --py-files zip deployment (zipimport has no real paths)
-    if _BUNDLED_VARIANTS_PATH.is_file():
-        return _read_variants_csv(_BUNDLED_VARIANTS_PATH)
+    p = _BUNDLED_VARIANTS_PATH.parent / name
+    if p.is_file():
+        return p.read_text(encoding="utf-8")
     from importlib import resources
 
-    text = (
+    return (
         resources.files("bib_dedupe_spark")
-        .joinpath("data/journal_variants.csv")
+        .joinpath(f"data/{name}")
         .read_text(encoding="utf-8")
     )
-    return _parse_variants(text.splitlines())
+
+
+def _read_bundled_variants() -> dict:
+    """Curated starter rows + structurally GENERATED abbreviation rows.
+
+    The curated CSV covers transliterated titles (not derivable
+    structurally); the abbreviation-expansion generator
+    (functions/abbrev_gen.py) derives NLM/ISO-4-style variant rows from
+    the bundled canonical-title seed list, keeping only pairs the
+    4-char-prefix cascade would not already unify. Curated rows come
+    first — first match wins in _translate_variant.
+    """
+    mapping = _parse_variants(
+        _read_bundled_data("journal_variants.csv").splitlines()
+    )
+    from bib_dedupe_spark.functions import abbrev_gen
+
+    canonicals = _read_bundled_data("journal_canonical.txt").splitlines()
+    generated = abbrev_gen.generated_mapping(
+        canonicals, normalizer=norm_container_title
+    )
+    for variant, canonical in generated.items():
+        mapping.setdefault(variant, canonical)
+    return mapping
 
 
 def load_journal_variants(

@@ -138,3 +138,76 @@ def test_journal_variants_env_path(tmp_path, monkeypatch):
         assert got == {"british medical journal": "bmj"}
     finally:
         containers._variants_cache = None
+
+
+def test_bundled_structural_abbreviation_coverage(monkeypatch):
+    """NLM-style abbreviation ↔ full-title pairs must normalize
+    IDENTICALLY with the BUNDLED table alone (no env var): the
+    abbreviation-expansion generator (functions/abbrev_gen.py) derives
+    these variant rows from the engine-owned canonical seed list — no
+    reference CSV involved. Reference behavior:
+    prep_container_title.py:145-161."""
+    import warnings
+
+    from bib_dedupe_spark.functions import containers
+
+    monkeypatch.delenv("BIB_DEDUPE_JOURNAL_VARIANTS", raising=False)
+    containers._variants_cache = None
+    containers._warned_bundled = True
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            bundled = containers.load_journal_variants()
+        # curated starter + generated structural rows
+        assert len(bundled) >= 90, len(bundled)
+        pairs = [
+            # the structurally interesting class: abbreviation words
+            # SHORTER than the cascade's 4-char prefix
+            ("New England Journal of Medicine", "N Engl J Med"),
+            ("Deutsche Medizinische Wochenschrift", "Dtsch Med Wochenschr"),
+            ("Annals of Internal Medicine", "Ann Intern Med"),
+            ("Proceedings of the National Academy of Sciences",
+             "Proc Natl Acad Sci"),
+            ("Acta Psychiatrica Scandinavica", "Acta Psychiatr Scand"),
+            ("Archives of General Psychiatry", "Arch Gen Psychiatry"),
+            ("Journal of Infectious Diseases", "J Infect Dis"),
+            ("South African Medical Journal", "S Afr Med J"),
+            ("Annals of the Rheumatic Diseases", "Ann Rheum Dis"),
+            ("Archives of Disease in Childhood", "Arch Dis Child"),
+        ]
+        for full, abbrev in pairs:
+            a = containers.norm_container_title(full, bundled)
+            b = containers.norm_container_title(abbrev, bundled)
+            assert a == b, f"{full!r} -> {a!r} but {abbrev!r} -> {b!r}"
+    finally:
+        containers._variants_cache = None
+
+
+def test_abbrev_generator_prunes_redundant_rows():
+    """generate_variants emits a row ONLY when the cascade would not
+    already unify the pair — 'J Clin Oncol' collapses to the same 4-char
+    prefixes as its full title, so it must be pruned."""
+    from bib_dedupe_spark.functions import abbrev_gen, containers
+
+    assert (
+        abbrev_gen.generate_variants(
+            "Journal of Clinical Oncology",
+            normalizer=containers.norm_container_title,
+        )
+        == []
+    )
+    out = abbrev_gen.generate_variants(
+        "New England Journal of Medicine",
+        normalizer=containers.norm_container_title,
+    )
+    assert out == ["n engl j med"]
+    # single-word titles are never abbreviated (ISO-4 rule)
+    assert abbrev_gen.nlm_abbreviation("Nature") == "nature"
+    # short abbreviations are suppressed (substring false-hit risk)
+    assert (
+        abbrev_gen.generate_variants(
+            "Cancer Research",
+            normalizer=containers.norm_container_title,
+        )
+        == []
+    )
