@@ -131,6 +131,21 @@ def run_dedupe(spark) -> dict:
         for df in caches:
             df.unpersist()
         t_staged_big = wall if t_staged_big is None else min(t_staged_big, wall)
+    # warm pass: populate the stage-1 cache once, then time a re-label
+    # over it — the steady-state shape for a long-lived session (cold is
+    # the honest per-batch number; warm isolates the kernel+label cost
+    # from the barrier materialization for round-over-round comparison)
+    warm_caches: list = []
+    t0 = time.time()
+    match_lazy(big_pairs, cache_out=warm_caches).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_staged_big = min(t_staged_big, time.time() - t0)  # third cold sample
+    t0 = time.time()
+    match_lazy(big_pairs).write.format("noop").mode("overwrite").save()
+    t_staged_warm = time.time() - t0
+    for df in warm_caches:
+        df.unpersist()
     # apples-to-apples exact baseline: full scoring + rule filters to
     # labeled edges (one pass — it is the slow path being replaced)
     t0 = time.time()
@@ -187,6 +202,8 @@ def run_dedupe(spark) -> dict:
         "sim_throughput_pairs_per_s": round(n_big / t_sim_big, 1),
         "staged_match_wall_s": round(t_staged_big, 2),
         "staged_match_pairs_per_s": round(n_big / t_staged_big, 1),
+        "staged_match_warm_wall_s": round(t_staged_warm, 2),
+        "staged_match_warm_pairs_per_s": round(n_big / t_staged_warm, 1),
         "exact_match_wall_s": round(t_exact_big, 2),
         "exact_match_pairs_per_s": round(n_big / t_exact_big, 1),
         "staged_speedup_vs_exact_match": round(t_exact_big / t_staged_big, 2),

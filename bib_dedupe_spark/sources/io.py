@@ -70,8 +70,14 @@ def write_records_bucketed(
     )
 
 
+MAYBE_EXPORT_MAX_ROWS = 100_000
+
+
 def write_maybe_cases(
-    df: DataFrame, file_path: str, now: "datetime | None" = None
+    df: DataFrame,
+    file_path: str,
+    now: "datetime | None" = None,
+    max_rows: int | None = MAYBE_EXPORT_MAX_ROWS,
 ) -> str | None:
     """Write the maybe-review table as ONE csv file, rotating any prior
     export first.
@@ -85,13 +91,30 @@ def write_maybe_cases(
 
     The review table is human-scale by definition, so a single driver-side
     file (collect via pandas) is the right shape here — the distributed
-    writers above remain for machine-scale sinks.
+    writers above remain for machine-scale sinks. Because the collect is
+    driver-side, ``max_rows`` (default 100k) guards against a pathological
+    rule set flooding the review set and OOMing the driver: over the
+    limit, the export refuses with guidance (raise the limit explicitly,
+    pass ``max_rows=None``, or write the full set with a distributed
+    writer and review a sample).
 
     Returns the rotation target path when a prior file existed.
     """
     import shutil
     from datetime import datetime
     from pathlib import Path
+
+    if max_rows is not None:
+        n = df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"maybe-cases export has more than {max_rows} rows — this "
+                "is a driver-side single-file csv for HUMAN review, and a "
+                "review set that size suggests a runaway maybe rule. "
+                "Tighten the rules, export a sample (df.limit(...)), use "
+                "a distributed writer (df.write.csv), or pass a higher "
+                "max_rows / max_rows=None to override."
+            )
 
     target = Path(file_path)
     rotated: str | None = None

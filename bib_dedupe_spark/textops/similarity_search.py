@@ -185,6 +185,37 @@ def ivf_topk(
     )
 
 
+def _random_plane_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Vectorized pandas UDF: one sign-bucket string per hash table.
+
+    Hyperplanes are seeded Gaussian draws (deterministic across engines
+    and runs); the per-row work is one (batch × dim) @ (dim × planes)
+    matmul per table — numpy inside an Arrow batch, never per-row Python.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def buckets(vecs):
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        planes = rng.normal(size=(n_tables, dim, n_planes))
+        mat = np.array([list(v) for v in vecs], dtype=np.float64)
+        out = []
+        for t in range(n_tables):
+            bits = (mat @ planes[t]) >= 0
+            out.append(
+                np.array(
+                    [f"{t}:" + "".join("1" if b else "0" for b in row)
+                     for row in bits]
+                )
+            )
+        return pd.Series(np.stack(out, axis=1).tolist())
+
+    return buckets
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -192,22 +223,50 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 12,
+    n_tables: int = 1,
+    dim: int | None = None,
+    seed: int = 13,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the sign-LSH bucket.
+    """Approximate top-k: candidates share a sign-LSH bucket.
 
-    The cross join becomes an equi-join on the bucket key; recall can be
-    raised by lowering ``n_planes`` (bigger buckets) or multiprobing.
+    ``n_tables=1`` (default) keeps the original axis-aligned bucket — a
+    pure-SQL expression, oracle-replicable. ``n_tables>1`` switches to
+    the standard multi-table random-hyperplane scheme (seeded Gaussian
+    planes in a vectorized pandas UDF): a pair is a candidate if it
+    collides in ANY table, which converts per-table miss probability p
+    into p^L — the recall lever single-table sign bits lack. The join
+    stays an equi-join on (table, bucket); candidates dedupe in the
+    ranking window. Raise recall by adding tables or lowering
+    ``n_planes`` (bigger buckets); both trade compute for recall.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        sign_lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        sign_lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
-    )
+    if n_tables <= 1:
+        bucket_q = sign_lsh_bucket(F.col(vec_col), n_planes)
+        bucket_c = sign_lsh_bucket(F.col(vec_col), n_planes)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            bucket_q.alias("bucket"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            bucket_c.alias("bucket"),
+        )
+    else:
+        if dim is None:
+            row = corpus.select(F.size(vec_col).alias("d")).first()
+            dim = row["d"]
+        buckets = _random_plane_buckets_udf(dim, n_planes, n_tables, seed)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(buckets(F.col(vec_col))).alias("bucket"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.explode(buckets(F.col(vec_col))).alias("bucket"),
+        )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -217,6 +276,9 @@ def lsh_topk(
             cosine(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
+    if n_tables > 1:
+        # a pair colliding in several tables must count once
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

@@ -6,7 +6,11 @@ Usage: python scripts/incremental_probe.py [n_batches] [batch_records]
         env INCR_HOT=1 switches to DEGENERATE numeric hosts — every
         record shares one author blocking key, the shape whose
         batch×corpus fan-out otherwise grows with the corpus — and
-        INCR_HOT_STRATEGY=drop|salt picks the block_delta policy)
+        INCR_HOT_STRATEGY=drop|salt picks the block_delta policy;
+        env INCR_SPLIT=1 additionally runs a SECOND stream at 1/4 the
+        batch size and solves the per-batch fixed vs per-record
+        variable cost split from the two steady-state walls, plus
+        batches/hour capacity at each size)
 
 Feeds equal-sized record batches through link_batch() against an
 accumulating corpus and reports each batch's wall time. The claim under
@@ -27,30 +31,21 @@ import pandas as pd
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main() -> None:
-    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    batch_records = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
-    compact_every = int(os.environ.get("INCR_COMPACT_EVERY", "0"))
-    hot = os.environ.get("INCR_HOT", "") == "1"
-    hot_strategy = os.environ.get("INCR_HOT_STRATEGY", "drop")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
-
-    from bib_dedupe_spark.session import get_spark
-
-    spark = get_spark(
-        app_name="incremental-probe",
-        master=f"local[{cpus}]",
-        shuffle_partitions=cpus * 2,
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+def run_stream(
+    spark,
+    records,
+    n_batches: int,
+    batch_records: int,
+    hot: bool,
+    hot_strategy: str,
+    compact_every: int,
+    quiet: bool = False,
+) -> list:
+    """Feed ``n_batches`` equal batches through link_batch; per-batch walls."""
+    import tempfile
 
     from bib_dedupe_spark.sources.io import compact_corpus_index
-    from bib_dedupe_spark.sources.synthetic import generate
     from bib_dedupe_spark.streaming.dedup_stream import link_batch
-
-    records, _ = generate(n_base=n_batches * batch_records, seed=99)
-    # synthetic records -> the webpages shape link_batch expects
-    import tempfile
 
     work = tempfile.mkdtemp(prefix="incr_probe_")
     corpus_path = f"{work}/corpus"
@@ -62,23 +57,22 @@ def main() -> None:
     index_table = "incr_probe_index_" + Path(work).name.split("_")[-1]
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
 
-    walls = []
-    corpus_sizes = []
-    for b in range(n_batches):
-        chunk = records[b * batch_records : (b + 1) * batch_records]
+    def _host(rid: str) -> str:
+        if hot:
+            # digits are stripped by prep -> every record collapses
+            # to one degenerate author key (the hot-key shape)
+            return f"h{hash(rid) % 5000}"
         # diverse ALPHABETIC hosts: author/container keys derive from the
         # host, and prep strips digits — numeric host names collapse every
         # record to one degenerate author key (the hot-key shape that
-        # test_block_salting's delta hot-key tests now cover explicitly)
-        def _host(rid: str) -> str:
-            if hot:
-                # digits are stripped by prep -> every record collapses
-                # to one degenerate author key (the hot-key shape)
-                return f"h{hash(rid) % 5000}"
-            return "".join(
-                chr(ord("a") + int(d)) for d in str(hash(rid) % 99991)
-            )
+        # test_block_salting's delta hot-key tests cover explicitly)
+        return "".join(
+            chr(ord("a") + int(d)) for d in str(hash(rid) % 99991)
+        )
 
+    walls = []
+    for b in range(n_batches):
+        chunk = records[b * batch_records : (b + 1) * batch_records]
         pages = pd.DataFrame(
             {
                 "url": [
@@ -116,11 +110,43 @@ def main() -> None:
             hot_key_strategy=hot_strategy if hot else "salt",
         )
         walls.append(round(time.time() - t0, 2))
-        corpus_sizes.append((b + 1) * batch_records)
         if compact_every and (b + 1) % compact_every == 0:
             compact_corpus_index(spark, keys_path, index_table, buckets=16)
-        print(f"batch {b}: corpus={corpus_sizes[-1]} wall={walls[-1]}s",
-              flush=True)
+        if not quiet:
+            print(
+                f"batch {b}: corpus={(b + 1) * batch_records} "
+                f"wall={walls[-1]}s",
+                flush=True,
+            )
+    return walls
+
+
+def main() -> None:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    batch_records = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    compact_every = int(os.environ.get("INCR_COMPACT_EVERY", "0"))
+    hot = os.environ.get("INCR_HOT", "") == "1"
+    hot_strategy = os.environ.get("INCR_HOT_STRATEGY", "drop")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    split = os.environ.get("INCR_SPLIT", "") == "1"
+
+    from bib_dedupe_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="incremental-probe",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bib_dedupe_spark.sources.synthetic import generate
+
+    records, _ = generate(n_base=n_batches * batch_records, seed=99)
+
+    walls = run_stream(
+        spark, records, n_batches, batch_records, hot, hot_strategy,
+        compact_every,
+    )
 
     if n_batches < 7:
         raise SystemExit(
@@ -138,7 +164,41 @@ def main() -> None:
         "early_mean_s": round(head, 2),
         "late_mean_s": round(tail, 2),
         "late_over_early": round(tail / head, 3) if head else None,
+        "batches_per_hour": round(3600 / tail, 1),
+        "records_per_hour": round(3600 / tail * batch_records),
     }
+
+    if split:
+        # second stream at 4x the batch size: two steady-state walls at
+        # two batch sizes solve wall(B) = fixed + variable_per_record * B
+        # (the larger contrast conditions the solve — at small batches
+        # the wall is almost entirely fixed cost and the difference
+        # drowns in co-tenant noise)
+        big_b = batch_records * 4
+        records_big, _ = generate(n_base=n_batches * big_b, seed=101)
+        walls_big = run_stream(
+            spark,
+            records_big,
+            n_batches,
+            big_b,
+            hot,
+            hot_strategy,
+            compact_every,
+            quiet=True,
+        )
+        tail_big = sum(walls_big[-3:]) / 3
+        var_per_rec = (tail_big - tail) / (big_b - batch_records)
+        fixed = tail - var_per_rec * batch_records
+        out["split"] = {
+            "big_batch_records": big_b,
+            "big_late_mean_s": round(tail_big, 2),
+            "fixed_cost_s_per_batch": round(fixed, 2),
+            "variable_cost_ms_per_record": round(var_per_rec * 1000, 3),
+            "fixed_fraction_at_batch": round(fixed / tail, 3) if tail else None,
+            "big_batches_per_hour": round(3600 / tail_big, 1),
+            "big_records_per_hour": round(3600 / tail_big * big_b),
+        }
+
     print(json.dumps(out))
     md = Path(__file__).resolve().parent.parent / "BENCH_SCALING.md"
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")

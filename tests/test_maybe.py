@@ -182,3 +182,21 @@ def test_human_in_the_loop_end_to_end(spark, tmp_path):
     ids = {r["ID"] for r in merged.select("ID").collect()}
     assert a in ids and b not in ids  # min-ID survived the merge
     matched.unpersist()
+
+
+def test_maybe_export_row_guard(spark, tmp_path):
+    """write_maybe_cases is a DRIVER-side csv collect; a runaway maybe
+    rule must hit the row guard instead of OOMing the driver."""
+    import pytest
+
+    from bib_dedupe_spark.sources.io import write_maybe_cases
+
+    big = spark.range(0, 50).selectExpr("id as cluster_ID", "'maybe' as duplicate_label")
+    path = str(tmp_path / "review.csv")
+    with pytest.raises(ValueError, match="maybe-cases export"):
+        write_maybe_cases(big, path, max_rows=10)
+    # explicit opt-outs still export
+    write_maybe_cases(big, path, max_rows=None)
+    assert (tmp_path / "review.csv").exists()
+    write_maybe_cases(big, str(tmp_path / "review2.csv"), max_rows=50)
+    assert (tmp_path / "review2.csv").exists()

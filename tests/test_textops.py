@@ -420,3 +420,36 @@ def test_url_ipv6_hosts(spark):
     assert got["https://[2001:db8::1]:443/p"] == (
         "[2001:db8::1]", "https://[2001:db8::1]/p")
     assert got["http://user@[::1]:9/x"] == ("[::1]", "http://[::1]:9/x")
+
+
+def test_lsh_topk_multi_table(spark):
+    """n_tables>1 switches to seeded random-hyperplane multi-table LSH:
+    any-table collision makes a candidate, duplicates collapse to one
+    row per (query, neighbor), and a true near-duplicate that single-
+    table axis buckets can miss is recovered."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=12)
+    base /= np.linalg.norm(base)
+    near = base + rng.normal(size=12) * (0.25 / np.sqrt(12))
+    near /= np.linalg.norm(near)
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])]
+    for i in range(2, 40):
+        v = rng.normal(size=12)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = similarity_search.lsh_topk(
+        vecs.filter("vec_id = 0"), vecs, k=3, n_planes=6, n_tables=8
+    ).collect()
+    by_rank = {r["rank"]: r for r in top}
+    assert by_rank[1]["neighbor_id"] == 1  # the planted near-dup
+    # one row per (query, neighbor) even though tables collide repeatedly
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in top]
+    assert len(pairs) == len(set(pairs))
+    # determinism: the seeded planes give identical output on re-run
+    again = similarity_search.lsh_topk(
+        vecs.filter("vec_id = 0"), vecs, k=3, n_planes=6, n_tables=8
+    ).collect()
+    assert sorted(map(tuple, top)) == sorted(map(tuple, again))
