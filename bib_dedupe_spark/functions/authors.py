@@ -66,11 +66,21 @@ def fold_accents(text: str) -> str:
             pass
         return ch
 
+    # ASCII fast path — provably the identity: NFKD is a no-op, no ASCII
+    # char is combining, and no ASCII character name contains " WITH ".
+    # The per-char unicodedata.name walk below was the #1 cost of the
+    # whole prep batch profile; most real author strings never enter it.
+    if text.isascii():
+        return text
     try:
         decomposed = unicodedata.normalize("NFKD", text)
-        return "".join(
-            base_char(c) for c in decomposed if not unicodedata.combining(c)
-        )
+        out = []
+        for c in decomposed:
+            if c.isascii():
+                out.append(c)
+            elif not unicodedata.combining(c):
+                out.append(base_char(c))
+        return "".join(out)
     except ValueError:
         return text
 

@@ -166,6 +166,9 @@ def _inline_prune_flags(df: DataFrame) -> DataFrame:
     )
 
 
+SALT_BUCKET_SIZE = 512
+
+
 def candidate_pairs(
     records_df: DataFrame,
     max_block_size: int | None = 1000,
@@ -173,6 +176,7 @@ def candidate_pairs(
     hot_key_strategy: str = "salt",
     prune: bool = False,
     surrogate_ids: bool = False,
+    salt_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (ID_1 < ID_2) with first-rule attribution.
 
@@ -188,12 +192,22 @@ def candidate_pairs(
 
     Hot-key skew: a blocking key shared by k records implies O(k²) pairs.
     With ``hot_key_strategy="salt"`` (default), keys whose group exceeds
-    ``max_block_size`` are split into ⌈k / max_block_size⌉ deterministic
-    salt buckets; within-bucket plus lower-triangular cross-bucket joins
+    the salt bucket size are split into ⌈k / bucket⌉ deterministic salt
+    buckets; within-bucket plus lower-triangular cross-bucket joins
     regenerate EXACTLY the same pair set while bounding every join
     group — the quadratic output is spread over many tasks instead of one
-    reducer. ``"drop"`` removes hot keys outright (bounded-output mode;
-    observable via :func:`blocking_key_stats`).
+    reducer. ``"drop"`` removes keys above ``max_block_size`` outright
+    (bounded-output mode; observable via :func:`blocking_key_stats`).
+
+    ``salt_bucket_size`` (default min(max_block_size, SALT_BUCKET_SIZE))
+    is the EXECUTION granularity, decoupled from the semantic
+    ``max_block_size``: a join cell emits up to bucket² rows, so leaving
+    the bucket at a 2000-record cap meant 4M-row cells and a straggler
+    task tail at 1M records (measured: 8 tasks dominating the block
+    stage). Salting is pair-set preserving, so a smaller bucket changes
+    only task shape — groups between the bucket size and
+    ``max_block_size`` route through the salted join too (in "drop" mode
+    only keys above ``max_block_size`` are dropped, exactly as before).
 
     The exploded key table feeds several consumers; ``cache`` persists it
     so the upstream prep UDF pass runs once.
@@ -257,6 +271,8 @@ def candidate_pairs(
 
     hot_pairs = None
     if max_block_size is not None:
+        if salt_bucket_size is None:
+            salt_bucket_size = min(max_block_size, SALT_BUCKET_SIZE)
         counts = keys.groupBy("rule_idx", "key").agg(
             F.count("*").alias("_block_n")
         )
@@ -268,8 +284,15 @@ def candidate_pairs(
         # per micro-batch, and a persist() here used to leak one cached
         # frame per batch. When no key is hot (the common case) the anti-
         # join and salt machinery are skipped entirely.
+        #
+        # Two tiers: keys above max_block_size are DROPPED under "drop";
+        # everything above the (smaller) salt bucket size is routed to
+        # the salted join for task granularity — pair-set preserving.
+        salt_threshold = (
+            salt_bucket_size if hot_key_strategy == "salt" else max_block_size
+        )
         hot_rows = counts.filter(
-            F.col("_block_n") > max_block_size
+            F.col("_block_n") > salt_threshold
         ).collect()
         hot = (
             records_df.sparkSession.createDataFrame(
@@ -288,7 +311,7 @@ def candidate_pairs(
         )
         if hot_key_strategy == "salt":
             n_buckets = F.ceil(
-                F.col("_block_n") / F.lit(max_block_size)
+                F.col("_block_n") / F.lit(salt_bucket_size)
             ).cast("int")
             salted = keys.join(
                 F.broadcast(hot), ["rule_idx", "key"]

@@ -26,10 +26,16 @@ def main() -> None:
 
     from bib_dedupe_spark.session import get_spark
 
+    # shuffle partitions scale with the corpus: pair-stage partitions
+    # hold O(partition) aggregation state, and 64 partitions at 1M
+    # records blew the (local-mode, shared) heap; ~2.5k records/partition
+    # keeps per-task state flat as n grows — the local stand-in for what
+    # a real cluster gets from dynamic allocation + AQE coalescing
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     spark = get_spark(
         app_name="scale-e2e",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus * 2,
+        shuffle_partitions=max(cpus * 2, n_base // 2500),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -88,6 +94,15 @@ def main() -> None:
         if precision + recall
         else 0.0
     )
+    # driver-memory evidence (the scale probe's job is to catch driver-
+    # side plan/footprint growth before a real cluster does)
+    import resource
+
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    jvm_used_mb = int((rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
+    py_maxrss_mb = int(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    )
     print(
         json.dumps(
             {
@@ -101,6 +116,14 @@ def main() -> None:
                 "precision": round(precision, 5),
                 "recall": round(recall, 5),
                 "f1": round(f1, 5),
+                "e2e_records_per_s": round(
+                    n_rec / sum(walls.values()), 1
+                ),
+                "e2e_pairs_per_s": round(
+                    n_pairs / sum(walls.values()), 1
+                ),
+                "jvm_heap_used_end_mb": jvm_used_mb,
+                "driver_py_maxrss_mb": py_maxrss_mb,
             }
         )
     )

@@ -261,3 +261,30 @@ def test_candidate_pairs_leaves_no_cache_behind(spark, skewed_prepared):
     ).count()
     after = len(sc._jsc.sc().getRDDStorageInfo())
     assert after == before
+
+
+def test_salt_bucket_size_decoupled(skewed_prepared):
+    """The salt BUCKET size (execution granularity) is decoupled from
+    max_block_size (semantics): any bucket size must reproduce exactly
+    the unsalted pair set, and groups between the bucket size and
+    max_block_size route through the salted join too."""
+    unlimited = _pair_set(candidate_pairs(skewed_prepared, max_block_size=None))
+    for bucket in (3, 7, 100):
+        salted = _pair_set(
+            candidate_pairs(
+                skewed_prepared,
+                max_block_size=100,  # far above every group: nothing hot
+                hot_key_strategy="salt",
+                salt_bucket_size=bucket,
+            )
+        )
+        assert salted == unlimited, bucket
+    # drop-mode threshold stays max_block_size (NOT the bucket size)
+    dropped = _pair_set(
+        candidate_pairs(
+            skewed_prepared,
+            max_block_size=100,
+            hot_key_strategy="drop",
+        )
+    )
+    assert dropped == unlimited  # no group exceeds 100 -> nothing dropped
