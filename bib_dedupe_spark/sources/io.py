@@ -187,3 +187,77 @@ def compact_corpus_index(
     manifest = {"table": table, "max_batch": int(max_batch)}
     (Path(keys_path) / "_compaction.json").write_text(json.dumps(manifest))
     return manifest
+
+
+def compact_edges(
+    spark: SparkSession,
+    edges_path: str,
+    table: str,
+    buckets: int = 64,
+) -> dict:
+    """Compact the append-mode matched-edge sink into a bucketed table.
+
+    A long-lived linkage stream writes one small parquet partition per
+    micro-batch under ``edges_path`` — at web-scale horizons (10^5+
+    batches) the file count itself becomes the read bottleneck for every
+    downstream clustering pass. Compaction folds everything at or below
+    the current high-water ``_batch`` into ONE table bucketed on ID_1
+    (the key the clustering stage's edge scan groups by first), and
+    records a ``_compaction.json`` manifest exactly like the key-index
+    compactor. :func:`read_all_edges` consumes the manifest. Run only
+    while the stream is stopped (same retry caveat as
+    ``compact_corpus_index``).
+    """
+    import json
+    from pathlib import Path
+
+    df = spark.read.parquet(edges_path)
+    max_batch = -1
+    if "_batch" in df.columns:
+        max_batch = df.agg({"_batch": "max"}).first()[0]
+        df = df.drop("_batch")
+    (
+        df.repartition(buckets, "ID_1")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "ID_1")
+        .sortBy("ID_1")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    manifest = {"table": table, "max_batch": int(max_batch)}
+    (Path(edges_path) / "_compaction.json").write_text(json.dumps(manifest))
+    return manifest
+
+
+def read_all_edges(spark: SparkSession, edges_path: str) -> DataFrame:
+    """All matched edges: compacted bucketed table ∪ newer appends.
+
+    Without a compaction manifest this is a plain parquet read of every
+    ``_batch`` partition; with one, the bulk comes from the bucketed
+    table (few large files) and only appends NEWER than the compaction
+    watermark are read from parquet — the input shape the clustering
+    stage wants at long stream horizons.
+    """
+    import json
+    from pathlib import Path
+
+    manifest_file = Path(edges_path) / "_compaction.json"
+    raw = spark.read.parquet(edges_path)
+    if "_batch" in raw.columns:
+        raw_no_batch = raw.drop("_batch")
+    else:
+        raw_no_batch = raw
+    if not manifest_file.is_file():
+        return raw_no_batch
+    manifest = json.loads(manifest_file.read_text())
+    table = manifest["table"]
+    if not spark.catalog.tableExists(table):
+        return raw_no_batch
+    bulk = spark.table(table)
+    if "_batch" in raw.columns:
+        fresh = raw.filter(
+            F.col("_batch") > manifest["max_batch"]
+        ).drop("_batch")
+    else:
+        fresh = raw_no_batch.limit(0)
+    return bulk.unionByName(fresh)

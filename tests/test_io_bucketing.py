@@ -206,3 +206,42 @@ def test_link_batch_consumes_compaction_manifest(spark, tmp_path):
     }
     assert got == want and got
     spark.sql("DROP TABLE IF EXISTS corpus_index_mf")
+
+
+def test_compact_edges_roundtrip(spark, tmp_path):
+    """Edges compaction: bulk comes from the bucketed table, appends newer
+    than the watermark from parquet; the union is exactly every edge."""
+    from bib_dedupe_spark.sources.io import compact_edges, read_all_edges
+
+    edges_path = str(tmp_path / "edges")
+    rows = lambda b: [  # noqa: E731
+        (f"u{b}a", "s1", "s2", f"u{b}b", "duplicate"),
+    ]
+    cols = ["ID_1", "search_set_1", "search_set_2", "ID_2", "duplicate_label"]
+    for b in range(3):
+        spark.createDataFrame(rows(b), cols).write.mode("overwrite").parquet(
+            f"{edges_path}/_batch={b}"
+        )
+
+    # pre-compaction: plain parquet read
+    assert read_all_edges(spark, edges_path).count() == 3
+
+    spark.sql("DROP TABLE IF EXISTS edges_compact_t")
+    manifest = compact_edges(spark, edges_path, "edges_compact_t", buckets=4)
+    assert manifest["max_batch"] == 2
+
+    # append two newer batches AFTER the watermark
+    for b in (3, 4):
+        spark.createDataFrame(rows(b), cols).write.mode("overwrite").parquet(
+            f"{edges_path}/_batch={b}"
+        )
+
+    got = read_all_edges(spark, edges_path)
+    assert sorted(r["ID_1"] for r in got.collect()) == [
+        "u0a", "u1a", "u2a", "u3a", "u4a",
+    ]
+    assert "_batch" not in got.columns
+    # the bulk side really is the bucketed table (few files, no re-read of
+    # the 3 compacted partitions)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "edges_compact_t" in plan

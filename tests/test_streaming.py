@@ -240,3 +240,35 @@ def test_stream_host_rates(spark, tmp_path):
     assert got[("hosta.org", 0)] == 6
     assert got[("hostb.org", 0)] == 5
     assert got[("hosta.org", 10)] == 2  # minutes 10, 11
+
+
+def test_read_schema_cache(spark, tmp_path):
+    """Second read of a micro-batch sink passes the cached schema (skips
+    the per-read inference job) and returns the same schema."""
+    from bib_dedupe_spark.streaming import dedup_stream as ds
+
+    path = str(tmp_path / "sink")
+    spark.createDataFrame([(1, "a")], ["x", "y"]).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_batch=0")
+
+    ds._READ_SCHEMA_CACHE.pop(path, None)
+    first = ds._read_parquet_cached_schema(spark, path)
+    assert path in ds._READ_SCHEMA_CACHE
+    second = ds._read_parquet_cached_schema(spark, path)
+    assert second.schema == first.schema
+    assert {f.name for f in second.schema} >= {"x", "y", "_batch"}
+
+
+def test_corpus_is_empty_partition_dirs(spark, tmp_path):
+    """Local-fs emptiness check answers from partition directories —
+    excluding the current batch's own (possibly partial) partition."""
+    from bib_dedupe_spark.streaming.dedup_stream import _corpus_is_empty
+
+    path = str(tmp_path / "corpus")
+    df = spark.createDataFrame([("a",)], ["ID"])
+    df.write.mode("overwrite").parquet(f"{path}/_batch=0")
+    full = spark.read.parquet(path)
+    # only batch 0 exists: a RETRY of batch 0 must see an empty corpus
+    assert _corpus_is_empty(full, path, batch_id=0)
+    assert not _corpus_is_empty(full, path, batch_id=1)
