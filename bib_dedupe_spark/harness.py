@@ -716,6 +716,46 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_lsh_multi_table_pairs(spark, sf_dir):
+    """Multi-table random-hyperplane LSH candidate pairs.
+
+    Exercises the REAL multi-table path (textops.similarity_search.
+    lsh_candidate_pairs: per-table plane projections in the vectorized
+    numpy UDF, (table, bucket) equi-join, any-table-collision union with
+    per-pair dedupe) under PINNED integer hyperplanes the DuckDB oracle
+    recomputes symbolically: plane[t][d][p] = ((t*10007 + d*97 + p*31)
+    mod 7) - 3, two tables of four planes over the 64-dim embeddings.
+    """
+    from bib_dedupe_spark.textops.similarity_search import (
+        lsh_candidate_pairs,
+    )
+
+    n_tables, n_planes, dim = 2, 4, 64
+    planes = [
+        [
+            [((t * 10007 + d * 97 + p * 31) % 7) - 3 for p in range(n_planes)]
+            for d in range(dim)
+        ]
+        for t in range(n_tables)
+    ]
+    emb = _embeddings(spark, sf_dir)
+    pairs = lsh_candidate_pairs(
+        emb,
+        emb,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        dim=dim,
+        planes=planes,
+    )
+    return (
+        pairs.filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("id1"),
+            F.col("neighbor_id").alias("id2"),
+        )
+    )
+
+
 def q_embedding_sign_lsh(spark, sf_dir):
     """Sign-based LSH bucketing of embeddings (scale path for ANN)."""
     emb = _embeddings(spark, sf_dir)
@@ -851,6 +891,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_sign_lsh": q_embedding_sign_lsh,
+    "lsh_multi_table_pairs": q_lsh_multi_table_pairs,
     "events_agg": q_events_agg,
     "top_orders": q_top_orders,
     "fingerprints": q_fingerprints,
@@ -1260,6 +1301,22 @@ ORACLES = {
         " array_to_string(list_transform(embedding[1:8],"
         "   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket"
         " FROM embeddings"
+    ),
+    "lsh_multi_table_pairs": (
+        "WITH bits AS ("
+        " SELECT e.vec_id, t.t AS t, p.p AS p,"
+        "  (list_dot_product(e.embedding, list_transform(range(0, 64),"
+        "     d -> CAST((((t.t*10007 + d*97 + p.p*31) % 7) - 3)"
+        "          AS DOUBLE))) >= 0) AS bit"
+        " FROM embeddings e, range(0, 2) t(t), range(0, 4) p(p)), "
+        "buckets AS ("
+        " SELECT vec_id, t,"
+        "  string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''"
+        "             ORDER BY p) AS bucket"
+        " FROM bits GROUP BY vec_id, t)"
+        " SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2"
+        " FROM buckets a JOIN buckets b"
+        " ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id"
     ),
     "events_agg": (
         "SELECT user_id, count(*) AS n_events,"

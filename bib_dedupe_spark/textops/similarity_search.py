@@ -185,26 +185,39 @@ def ivf_topk(
     )
 
 
-def _random_plane_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+def _random_plane_buckets_udf(
+    dim: int, n_planes: int, n_tables: int, seed: int, planes=None
+):
     """Vectorized pandas UDF: one sign-bucket string per hash table.
 
-    Hyperplanes are seeded Gaussian draws (deterministic across engines
-    and runs); the per-row work is one (batch × dim) @ (dim × planes)
+    Hyperplanes default to seeded Gaussian draws (deterministic across
+    runs); pass ``planes`` (an (n_tables, dim, n_planes) nested list) to
+    pin them explicitly — e.g. integer planes an external SQL oracle can
+    reproduce. The per-row work is one (batch × dim) @ (dim × planes)
     matmul per table — numpy inside an Arrow batch, never per-row Python.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    fixed = (
+        [[list(map(float, row)) for row in table] for table in planes]
+        if planes is not None
+        else None
+    )
+
     @pandas_udf("array<string>")
     def buckets(vecs):
         import pandas as pd
 
-        rng = np.random.default_rng(seed)
-        planes = rng.normal(size=(n_tables, dim, n_planes))
+        if fixed is not None:
+            plane_arr = np.array(fixed, dtype=np.float64)
+        else:
+            rng = np.random.default_rng(seed)
+            plane_arr = rng.normal(size=(n_tables, dim, n_planes))
         mat = np.array([list(v) for v in vecs], dtype=np.float64)
         out = []
         for t in range(n_tables):
-            bits = (mat @ planes[t]) >= 0
+            bits = (mat @ plane_arr[t]) >= 0
             out.append(
                 np.array(
                     [f"{t}:" + "".join("1" if b else "0" for b in row)
@@ -214,6 +227,66 @@ def _random_plane_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int)
         return pd.Series(np.stack(out, axis=1).tolist())
 
     return buckets
+
+
+def lsh_candidate_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 1,
+    dim: int | None = None,
+    seed: int = 13,
+    planes=None,
+) -> DataFrame:
+    """LSH collide pairs — the candidate set before any scoring.
+
+    One row per distinct (query_id, neighbor_id) that shares a bucket in
+    ANY table, with the vectors carried as (qv, cv) for downstream
+    scoring. ``planes`` pins explicit hyperplanes (nested
+    (n_tables, dim, n_planes) list) — the oracle-testable entry point.
+    """
+    if n_tables <= 1 and planes is None:
+        bucket = sign_lsh_bucket(F.col(vec_col), n_planes)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            bucket.alias("bucket"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            bucket.alias("bucket"),
+        )
+        return (
+            q.join(c, "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "qv", "cv")
+        )
+    if dim is None:
+        row = corpus.select(F.size(vec_col).alias("d")).first()
+        dim = row["d"]
+    buckets = _random_plane_buckets_udf(
+        dim, n_planes, n_tables, seed, planes=planes
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(buckets(F.col(vec_col))).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.explode(buckets(F.col(vec_col))).alias("bucket"),
+    )
+    return (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        # a pair colliding in several tables must count once
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
 
 
 def lsh_topk(
@@ -239,46 +312,21 @@ def lsh_topk(
     ranking window. Raise recall by adding tables or lowering
     ``n_planes`` (bigger buckets); both trade compute for recall.
     """
-    if n_tables <= 1:
-        bucket_q = sign_lsh_bucket(F.col(vec_col), n_planes)
-        bucket_c = sign_lsh_bucket(F.col(vec_col), n_planes)
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            bucket_q.alias("bucket"),
-        )
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
-            bucket_c.alias("bucket"),
-        )
-    else:
-        if dim is None:
-            row = corpus.select(F.size(vec_col).alias("d")).first()
-            dim = row["d"]
-        buckets = _random_plane_buckets_udf(dim, n_planes, n_tables, seed)
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            F.explode(buckets(F.col(vec_col))).alias("bucket"),
-        )
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
-            F.explode(buckets(F.col(vec_col))).alias("bucket"),
-        )
-    scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
+    cand = lsh_candidate_pairs(
+        queries,
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        dim=dim,
+        seed=seed,
     )
-    if n_tables > 1:
-        # a pair colliding in several tables must count once
-        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
