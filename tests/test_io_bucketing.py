@@ -226,8 +226,12 @@ def test_compact_edges_roundtrip(spark, tmp_path):
     # pre-compaction: plain parquet read
     assert read_all_edges(spark, edges_path).count() == 3
 
-    spark.sql("DROP TABLE IF EXISTS edges_compact_t")
-    manifest = compact_edges(spark, edges_path, "edges_compact_t", buckets=4)
+    # unique per run: DROP TABLE of a fresh session does not remove an
+    # orphaned warehouse location (LOCATION_ALREADY_EXISTS on re-run)
+    import uuid
+
+    table = f"edges_compact_{uuid.uuid4().hex[:8]}"
+    manifest = compact_edges(spark, edges_path, table, buckets=4)
     assert manifest["max_batch"] == 2
 
     # append two newer batches AFTER the watermark
@@ -244,4 +248,4 @@ def test_compact_edges_roundtrip(spark, tmp_path):
     # the bulk side really is the bucketed table (few files, no re-read of
     # the 3 compacted partitions)
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "edges_compact_t" in plan
+    assert table in plan
