@@ -739,6 +739,15 @@ def q_lsh_multi_table_pairs(spark, sf_dir):
         for t in range(n_tables)
     ]
     emb = _embeddings(spark, sf_dir)
+    # quantize to the dyadic grid floor(x*1024)/1024: every component is
+    # an exact multiple of 2^-10, so the 64-term integer-plane projection
+    # is exact in double under ANY summation order — numpy's matmul and
+    # DuckDB's list_dot_product cannot disagree on the sign even when a
+    # projection lands at 0 (the oracle applies the same quantization)
+    emb = emb.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: F.floor(x * 1024) / 1024),
+    )
     pairs = lsh_candidate_pairs(
         emb,
         emb,
@@ -1303,12 +1312,15 @@ ORACLES = {
         " FROM embeddings"
     ),
     "lsh_multi_table_pairs": (
-        "WITH bits AS ("
+        "WITH q AS ("
+        " SELECT vec_id, list_transform(embedding,"
+        "   x -> floor(x * 1024) / 1024) AS embedding FROM embeddings), "
+        "bits AS ("
         " SELECT e.vec_id, t.t AS t, p.p AS p,"
         "  (list_dot_product(e.embedding, list_transform(range(0, 64),"
         "     d -> CAST((((t.t*10007 + d*97 + p.p*31) % 7) - 3)"
         "          AS DOUBLE))) >= 0) AS bit"
-        " FROM embeddings e, range(0, 2) t(t), range(0, 4) p(p)), "
+        " FROM q e, range(0, 2) t(t), range(0, 4) p(p)), "
         "buckets AS ("
         " SELECT vec_id, t,"
         "  string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''"

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bib_dedupe_spark import constants as C
@@ -67,6 +67,11 @@ BLOCKING_RULES = [
 # together and passes the non-empty filter, like NaN does in pandas
 _NULL_KEY = "\x00<null>"
 _KEY_SEP = "\x1f"
+
+# rules whose pairs require title-word overlap downstream (block.py:96-98)
+_RTO_RULE_IDXS = frozenset(
+    i for i, (_f, rto) in enumerate(BLOCKING_RULES) if rto
+)
 
 
 def rule_name(fields: tuple) -> str:
@@ -166,7 +171,116 @@ def _inline_prune_flags(df: DataFrame) -> DataFrame:
     )
 
 
+def _refined_hot_pairs(
+    keys: DataFrame,
+    hot_ref: DataFrame,
+    salt_bucket_size: int,
+    sided,
+    out_cols: list,
+) -> DataFrame:
+    """Candidate pairs for hot require-title-overlap groups WITHOUT the
+    quadratic all-pairs join — provably output-preserving.
+
+    Inside a group, the downstream title-overlap prune
+    (:func:`_inline_prune_flags`, mirroring reference block.py:152-198)
+    keeps a pair only if (a) either title has no space, (b) titles are
+    identical, or (c) DISTINCT shared words ≥ 0.5·(min(multiset len)+1).
+    So instead of generating all k²/2 pairs and pruning, generate only a
+    superset of the survivors:
+
+    * **wildcards** (no-space titles, plus zero-token degenerates that
+      can only pass via identical titles) × everyone — these pairs are
+      prune-exempt, i.e. necessary output; bucketed like the salted join
+      so no task sees more than ``salt_bucket_size`` targets per probe.
+    * **prefix-filtered word join** (AllPairs-style) for the rest: each
+      record indexes ALL its distinct title words, but probes with only
+      its ⌊(d−1)/2⌋+1 rarest (group-local document frequency, ties by
+      word) — any pair passing (b) or (c) shares > half the smaller
+      distinct set, so the smaller record's rarest-half prefix must
+      contain a shared word. Common words (stopwords) almost never land
+      in prefixes, which is exactly what kills the quadratic term at
+      low-entropy keys.
+
+    Generated ⊆ all-pairs and ⊇ prune survivors, and the exact prune
+    still runs downstream, so the final pair set is bit-identical to the
+    salted path (pinned by tests/test_block_refine.py differential).
+    First-rule attribution for pairs this generator legitimately skips is
+    restored exactly by the post-prune recovery join in
+    :func:`candidate_pairs`.
+    """
+    base = keys.join(F.broadcast(hot_ref), ["rule_idx", "key"])
+    dtok = F.array_distinct("_tok")
+    base = base.withColumn("_d", F.size(dtok)).withColumn(
+        "_wc", (~F.col("_title").contains(" ")) | (F.col("_d") == 0)
+    )
+
+    # --- wildcard × all (bucketed; each unordered pair emitted once) ---
+    n_buckets = F.ceil(F.col("_block_n") / F.lit(salt_bucket_size)).cast(
+        "int"
+    )
+    probe = sided(
+        base.filter("_wc").withColumn(
+            "_to", F.explode(F.sequence(F.lit(0), n_buckets - 1))
+        ),
+        "l",
+        ("rule_idx", "rto", "key", "_to"),
+    )
+    target = sided(
+        base.withColumn(
+            "_to", F.pmod(F.xxhash64(C.ID), n_buckets).cast("int")
+        ).withColumn("_wc_r", F.col("_wc")),
+        "r",
+        ("rule_idx", "key", "_to", "_wc_r"),
+    )
+    wc_pairs = (
+        probe.join(target, ["rule_idx", "key", "_to"])
+        .filter(
+            (~F.col("_wc_r") & (F.col("ID_l") != F.col("ID_r")))
+            | (F.col("ID_l") < F.col("ID_r"))
+        )
+        .select(*out_cols)
+    )
+
+    # --- prefix-filtered word join over non-wildcards ---
+    words = base.filter(~F.col("_wc")).select(
+        "rule_idx",
+        "rto",
+        "key",
+        C.ID,
+        *_CARRY,
+        F.col("_d"),
+        F.explode(dtok).alias("_w"),
+    )
+    wdf = words.groupBy("rule_idx", "key", "_w").agg(
+        F.count("*").alias("_wdf")
+    )
+    win = Window.partitionBy("rule_idx", "key", C.ID).orderBy("_wdf", "_w")
+    prefix = (
+        words.join(wdf, ["rule_idx", "key", "_w"])
+        .withColumn("_rank", F.row_number().over(win))
+        .filter(F.col("_rank") <= F.floor((F.col("_d") - 1) / 2) + 1)
+    )
+    word_pairs = (
+        sided(prefix, "l", ("rule_idx", "rto", "key", "_w"))
+        .join(
+            sided(words, "r", ("rule_idx", "key", "_w")),
+            ["rule_idx", "key", "_w"],
+        )
+        .filter(F.col("ID_l") != F.col("ID_r"))
+        .select(*out_cols)
+    )
+    return wc_pairs.unionByName(word_pairs)
+
+
 SALT_BUCKET_SIZE = 512
+
+# Upper bound on hot blocking keys materialized to the driver by
+# candidate_pairs. The hot table is broadcast by both of its consumers,
+# so it must be broadcast-sized anyway; ~100k (rule_idx, key, count)
+# rows ≈ 10 MB. A corpus with more hot keys than this is degenerate for
+# salt mode (the key set itself no longer fits a broadcast) — fail
+# loudly rather than silently OOM the driver.
+HOT_KEY_COLLECT_LIMIT = 100_000
 
 
 def candidate_pairs(
@@ -177,6 +291,7 @@ def candidate_pairs(
     prune: bool = False,
     surrogate_ids: bool = False,
     salt_bucket_size: int | None = None,
+    refine_hot_keys: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (ID_1 < ID_2) with first-rule attribution.
 
@@ -208,6 +323,17 @@ def candidate_pairs(
     only task shape — groups between the bucket size and
     ``max_block_size`` route through the salted join too (in "drop" mode
     only keys above ``max_block_size`` are dropped, exactly as before).
+
+    ``refine_hot_keys`` (default on; applies only with ``prune=True`` in
+    salt mode): hot groups of require-title-overlap rules skip the
+    quadratic salted self-join entirely and generate pairs through
+    :func:`_refined_hot_pairs` — wildcard×all plus a prefix-filtered
+    word join whose output is a superset of the downstream prune's
+    survivors, so the FINAL pair set (and, via the post-prune recovery
+    join, first-rule attribution) is bit-identical while the raw pair
+    volume stops growing quadratically at low-entropy keys. Non-overlap
+    rules' hot groups still use the salted join (their pairs are all
+    legitimate output).
 
     The exploded key table feeds several consumers; ``cache`` persists it
     so the upstream prep UDF pass runs once.
@@ -291,9 +417,25 @@ def candidate_pairs(
         salt_threshold = (
             salt_bucket_size if hot_key_strategy == "salt" else max_block_size
         )
-        hot_rows = counts.filter(
-            F.col("_block_n") > salt_threshold
-        ).collect()
+        # limit(N+1) bounds the driver materialization in the same job
+        # that computes it: ≤ N rows back means we have ALL hot keys;
+        # N+1 means the hot set exceeds broadcast size — refuse.
+        hot_rows = (
+            counts.filter(F.col("_block_n") > salt_threshold)
+            .limit(HOT_KEY_COLLECT_LIMIT + 1)
+            .collect()
+        )
+        if len(hot_rows) > HOT_KEY_COLLECT_LIMIT:
+            raise ValueError(
+                f"more than {HOT_KEY_COLLECT_LIMIT} blocking keys exceed "
+                f"the hot-key threshold ({salt_threshold}): the hot-key "
+                "table no longer fits a broadcast, which the salted join "
+                "requires. This corpus's key entropy is too low for salt "
+                "mode — raise salt_bucket_size/max_block_size, use "
+                "hot_key_strategy='drop', or leave refine_hot_keys on "
+                "(prune mode) so overlap-rule hot groups avoid the "
+                "salted join."
+            )
         hot = (
             records_df.sparkSession.createDataFrame(
                 hot_rows, schema=counts.schema
@@ -303,6 +445,8 @@ def candidate_pairs(
         )
     else:
         hot = None
+        hot_rows = []
+    refine_membership = None
     if hot is not None:
         keys_cold = keys.join(
             F.broadcast(hot.select("rule_idx", "key")),
@@ -310,35 +454,19 @@ def candidate_pairs(
             "left_anti",
         )
         if hot_key_strategy == "salt":
-            n_buckets = F.ceil(
-                F.col("_block_n") / F.lit(salt_bucket_size)
-            ).cast("int")
-            salted = keys.join(
-                F.broadcast(hot), ["rule_idx", "key"]
-            ).withColumn(
-                "_salt",
-                F.pmod(F.xxhash64(C.ID), n_buckets).cast("int"),
-            )
-            # left side replicated toward every bucket ≥ its own: pair
-            # (a, b) with buckets i ≤ j is produced exactly once, by a's
-            # (or both's, when i == j) replica targeting bucket j
-            salted_left = _sided(
-                salted.withColumn(
-                    "_to",
-                    F.explode(F.sequence(F.col("_salt"), n_buckets - 1)),
-                ),
-                "l",
-                ("rule_idx", "rto", "key", "_to"),
-            )
-            salted_right = _sided(
-                salted.withColumn("_to", F.col("_salt")),
-                "r",
-                ("rule_idx", "key", "_to"),
-            )
-            hot_raw = (
-                salted_left.join(salted_right, ["rule_idx", "key", "_to"])
-                .filter(F.col("ID_l") != F.col("ID_r"))
-            )
+            refine = refine_hot_keys and prune
+            if refine:
+                ref_rows = [
+                    r for r in hot_rows if r["rule_idx"] in _RTO_RULE_IDXS
+                ]
+                salt_rows = [
+                    r
+                    for r in hot_rows
+                    if r["rule_idx"] not in _RTO_RULE_IDXS
+                ]
+            else:
+                ref_rows, salt_rows = [], hot_rows
+
             swap = F.col("ID_l") > F.col("ID_r")
             hot_cols = [
                 F.least("ID_l", "ID_r").alias("ID_1"),
@@ -358,7 +486,62 @@ def candidate_pairs(
                             F.col(f"{c}_r")
                         ).alias(f"{c}_2")
                     )
-            hot_pairs = hot_raw.select(*hot_cols)
+
+            hot_pairs = None
+            if salt_rows:
+                hot_salt = records_df.sparkSession.createDataFrame(
+                    salt_rows, schema=counts.schema
+                )
+                n_buckets = F.ceil(
+                    F.col("_block_n") / F.lit(salt_bucket_size)
+                ).cast("int")
+                salted = keys.join(
+                    F.broadcast(hot_salt), ["rule_idx", "key"]
+                ).withColumn(
+                    "_salt",
+                    F.pmod(F.xxhash64(C.ID), n_buckets).cast("int"),
+                )
+                # left side replicated toward every bucket ≥ its own: pair
+                # (a, b) with buckets i ≤ j is produced exactly once, by
+                # a's (or both's, when i == j) replica targeting bucket j
+                salted_left = _sided(
+                    salted.withColumn(
+                        "_to",
+                        F.explode(F.sequence(F.col("_salt"), n_buckets - 1)),
+                    ),
+                    "l",
+                    ("rule_idx", "rto", "key", "_to"),
+                )
+                salted_right = _sided(
+                    salted.withColumn("_to", F.col("_salt")),
+                    "r",
+                    ("rule_idx", "key", "_to"),
+                )
+                hot_raw = (
+                    salted_left.join(
+                        salted_right, ["rule_idx", "key", "_to"]
+                    ).filter(F.col("ID_l") != F.col("ID_r"))
+                )
+                hot_pairs = hot_raw.select(*hot_cols)
+            if ref_rows:
+                hot_ref = records_df.sparkSession.createDataFrame(
+                    ref_rows, schema=counts.schema
+                )
+                refined = _refined_hot_pairs(
+                    keys, hot_ref, salt_bucket_size, _sided, hot_cols
+                )
+                hot_pairs = (
+                    refined
+                    if hot_pairs is None
+                    else hot_pairs.unionByName(refined)
+                )
+                # membership table for exact first-rule attribution of
+                # pairs the refined generator legitimately skips (no
+                # shared prefix word) that survive via ANOTHER rule
+                refine_membership = keys.join(
+                    F.broadcast(hot_ref.select("rule_idx", "key")),
+                    ["rule_idx", "key"],
+                ).select(C.ID, "rule_idx", "key")
         keys = keys_cold
 
     left = _sided(keys, "1", ("rule_idx", "rto", "key"))
@@ -393,6 +576,42 @@ def candidate_pairs(
         grouped = grouped.filter(
             F.col("_title_ok") | ~F.col("require_title_overlap")
         ).select("ID_1", "ID_2", "rule_idx")
+    if refine_membership is not None:
+        # exact first-rule attribution under refinement: a surviving pair
+        # whose records share a REFINED hot (rule, key) qualifies for
+        # that rule even if the word join never emitted it (the pair got
+        # through via another rule; reference attribution is min over ALL
+        # qualifying rules, block.py:272-277). Recompute qualification
+        # from the membership table — survivors only, so both joins are
+        # post-prune-sized.
+        m1 = refine_membership.select(
+            F.col(C.ID).alias("ID_1"),
+            F.col("rule_idx").alias("_hr"),
+            "key",
+        )
+        m2 = refine_membership.select(
+            F.col(C.ID).alias("ID_2"),
+            F.col("rule_idx").alias("_hr"),
+            "key",
+        )
+        qual = (
+            grouped.select("ID_1", "ID_2")
+            .join(m1, "ID_1")
+            .join(m2, ["ID_2", "_hr", "key"])
+            .groupBy("ID_1", "ID_2")
+            .agg(F.min("_hr").alias("_hr"))
+        )
+        grouped = (
+            grouped.join(qual, ["ID_1", "ID_2"], "left")
+            .withColumn(
+                "rule_idx",
+                F.least(
+                    F.col("rule_idx"),
+                    F.coalesce(F.col("_hr"), F.lit(len(BLOCKING_RULES))),
+                ),
+            )
+            .drop("_hr")
+        )
     if id_map is not None:
         # map surviving pairs back to string ids (two joins over the
         # POST-prune survivors — tiny next to the raw stream) and restore
@@ -461,6 +680,7 @@ def block(
     cache: bool = True,
     hot_key_strategy: str = "salt",
     surrogate_ids: bool = True,
+    refine_hot_keys: bool = True,
 ) -> DataFrame:
     """Full blocking stage → enriched, pruned pair table.
 
@@ -487,6 +707,7 @@ def block(
         hot_key_strategy=hot_key_strategy,
         prune=True,
         surrogate_ids=surrogate_ids,
+        refine_hot_keys=refine_hot_keys,
     )
     return _enrich(pairs, records_df)
 

@@ -43,7 +43,7 @@ _DROPPED_RAW = (
     "abstract_2",
 )
 _DROPPED_RAW_RE = re.compile(
-    r"\b(?:author(?:_full)?_[12]|abstract_[12])\b"
+    r"\b(?:author(?:_full)?_[12]|abstract_[12])\b", re.IGNORECASE
 )
 
 

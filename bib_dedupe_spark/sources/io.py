@@ -186,6 +186,11 @@ def compact_corpus_index(
     )
     manifest = {"table": table, "max_batch": int(max_batch)}
     (Path(keys_path) / "_compaction.json").write_text(json.dumps(manifest))
+    from bib_dedupe_spark.streaming.dedup_stream import (
+        invalidate_read_schema_cache,
+    )
+
+    invalidate_read_schema_cache(keys_path)
     return manifest
 
 
@@ -226,6 +231,11 @@ def compact_edges(
     )
     manifest = {"table": table, "max_batch": int(max_batch)}
     (Path(edges_path) / "_compaction.json").write_text(json.dumps(manifest))
+    from bib_dedupe_spark.streaming.dedup_stream import (
+        invalidate_read_schema_cache,
+    )
+
+    invalidate_read_schema_cache(edges_path)
     return manifest
 
 

@@ -26,6 +26,20 @@ from pyspark.sql import functions as F
 _READ_SCHEMA_CACHE: dict = {}
 
 
+def invalidate_read_schema_cache(path: str | None = None) -> None:
+    """Drop cached sink schemas (one path, or all when ``path is None``).
+
+    The cache is keyed by path forever; a sink deleted and recreated with
+    a different schema in the same process — or compacted in place —
+    would otherwise be read with the stale schema. Compaction and stream
+    start call this; callers that rewrite a sink themselves should too.
+    """
+    if path is None:
+        _READ_SCHEMA_CACHE.clear()
+    else:
+        _READ_SCHEMA_CACHE.pop(path, None)
+
+
 def _read_parquet_cached_schema(spark, path: str) -> DataFrame:
     reader = spark.read
     cached = _READ_SCHEMA_CACHE.get(path)
@@ -301,10 +315,20 @@ def _corpus_is_empty(corpus: DataFrame, corpus_path: str, batch_id: int) -> bool
 
     if os.path.isdir(corpus_path):
         own = f"_batch={batch_id}"
-        return not any(
-            e.name.startswith("_batch=") and e.name != own
-            for e in os.scandir(corpus_path)
-        )
+        for e in os.scandir(corpus_path):
+            if not (e.name.startswith("_batch=") and e.name != own):
+                continue
+            # a crashed prior write can leave the partition dir with no
+            # committed part files — require at least one data file
+            # before declaring the corpus non-empty (parity with the
+            # row-based probe this path replaces)
+            with os.scandir(e.path) as inner:
+                if any(
+                    f.name.startswith("part-") and not f.name.endswith(".crc")
+                    for f in inner
+                ):
+                    return False
+        return True
     return corpus.limit(1).count() == 0
 
 
@@ -330,6 +354,10 @@ def run_incremental_linkage(
     :func:`link_batch`).
     """
     keys_path = corpus_path.rstrip("/") + "_keys"
+    # a fresh stream run may follow a delete-and-recreate of the sinks;
+    # never let it start from a stale cached schema
+    for p in (corpus_path, edges_path, keys_path):
+        invalidate_read_schema_cache(p)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         link_batch(

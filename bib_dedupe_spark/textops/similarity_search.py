@@ -87,19 +87,27 @@ def train_ivf_centroids(
 ):
     """Deterministic coarse quantizer: Lloyd k-means on a bounded sample.
 
-    The sample is collected in ``id_col`` order (reproducible), the init
-    takes the first ``n_lists`` sampled vectors, and iterations run in
-    numpy on the driver — the corpus itself never leaves the executors.
-    Returns an (n_lists, dim) numpy array of L2-normalized centroids.
+    The sample is an UNBIASED deterministic hash slice —
+    ``xxhash64(id) % p == 0`` with ``p`` sized from a corpus count — not
+    a low-id top-k (ids can correlate with content; a TakeOrdered sample
+    would concentrate on one content region). The filter is a plain
+    predicate the scan prunes on; sampled rows are sorted by id on the
+    driver for a reproducible init, and Lloyd iterations run in numpy on
+    the driver — the corpus itself never leaves the executors. Returns an
+    (n_lists, dim) numpy array of L2-normalized centroids.
     """
     import numpy as np
+    from pyspark.sql import functions as F
 
+    n = corpus.select(id_col).count()
+    p = max(1, n // max(sample_size, 1))
     rows = (
         corpus.select(id_col, vec_col)
-        .orderBy(id_col)
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(p)) == 0)
         .limit(sample_size)
         .collect()
     )
+    rows.sort(key=lambda r: r[id_col])
     data = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     data /= np.maximum(np.linalg.norm(data, axis=1, keepdims=True), 1e-12)
     centroids = data[: min(n_lists, len(data))].copy()

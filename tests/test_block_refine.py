@@ -1,0 +1,168 @@
+"""Hot-key refinement for require-title-overlap rules.
+
+Over-threshold groups of rto rules skip the quadratic salted self-join:
+pairs come from a wildcard pass plus a prefix-filtered word join
+(operators/block._refined_hot_pairs), which generates a superset of the
+downstream title-overlap prune's survivors — so the FINAL pruned pair
+set, and first-rule attribution (via the post-prune recovery join), must
+be bit-identical to both the unrefined salted path and the unsalted
+path. Mirrors reference semantics block.py:96-98,152-198,272-277.
+"""
+import pandas as pd
+import pytest
+
+from bib_dedupe_spark.operators import block as block_mod
+from bib_dedupe_spark.operators.block import candidate_pairs
+from bib_dedupe_spark.operators.prep import prep
+
+
+@pytest.fixture(scope="module")
+def refine_prepared(spark):
+    """One hot author_first+container group (rule 1, rto=True) holding:
+
+    * 12 records sharing most title words (pass the overlap prune),
+    * 12 records with globally unique title words (fail the prune),
+    * 2 wildcard records (single-word, no-space titles — prune-exempt),
+    * 2 records with mutually disjoint titles but the SAME DOI: kept via
+      the DOI rule (AND of rto flags = False) yet attributed to rule 1
+      in the reference — exercises the attribution-recovery join.
+    Years all differ so the author_first+year rule stays cold.
+    """
+    rows = []
+
+    def rec(i, title, doi=""):
+        return {
+            "ID": f"r{i:03d}",
+            "ENTRYTYPE": "article",
+            "author": "Hotkey, Anna",
+            "title": title,
+            "journal": "journal of heat studies",
+            "year": str(1950 + i),
+            "volume": "",
+            "number": "",
+            "pages": "",
+            "abstract": "",
+            "doi": doi,
+        }
+
+    for i in range(12):
+        rows.append(rec(i, f"effects of heat on mice cohort {i}"))
+    for i in range(12, 24):
+        rows.append(
+            rec(i, f"zqx{i} wvu{i} ktn{i} plm{i} brd{i} fgh{i}")
+        )
+    rows.append(rec(24, "heatstudy"))
+    rows.append(rec(25, "thermoreport"))
+    rows.append(
+        rec(26, "aaa bbb ccc ddd eee fff", doi="10.1000/same-doi")
+    )
+    rows.append(
+        rec(27, "ggg hhh iii jjj kkk lll", doi="10.1000/same-doi")
+    )
+    return prep(spark.createDataFrame(pd.DataFrame(rows))).persist()
+
+
+def _pairs(df):
+    return {(r["ID_1"], r["ID_2"], r["rule_idx"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def truth(refine_prepared):
+    """Unsalted, unrefined pruned pair set — the semantic ground truth."""
+    return _pairs(
+        candidate_pairs(refine_prepared, max_block_size=None, prune=True)
+    )
+
+
+def test_refined_equals_unrefined_and_unsalted(refine_prepared, truth):
+    refined = _pairs(
+        candidate_pairs(
+            refine_prepared,
+            max_block_size=10,
+            hot_key_strategy="salt",
+            prune=True,
+            refine_hot_keys=True,
+        )
+    )
+    unrefined = _pairs(
+        candidate_pairs(
+            refine_prepared,
+            max_block_size=10,
+            hot_key_strategy="salt",
+            prune=True,
+            refine_hot_keys=False,
+        )
+    )
+    assert unrefined == truth
+    assert refined == truth
+
+
+def test_refinement_actually_engaged(refine_prepared, monkeypatch):
+    calls = []
+    orig = block_mod._refined_hot_pairs
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(block_mod, "_refined_hot_pairs", spy)
+    candidate_pairs(
+        refine_prepared, max_block_size=10, prune=True
+    ).collect()
+    assert calls, "hot rto group did not route through the refined path"
+
+
+def test_attribution_recovery_for_skipped_pairs(refine_prepared, truth):
+    """The same-DOI disjoint-title pair survives via the DOI rule but is
+    attributed to rule 1 (the hot rto rule) — min over ALL qualifying
+    rules, even though the word join never emits it."""
+    refined = _pairs(
+        candidate_pairs(
+            refine_prepared, max_block_size=10, prune=True
+        )
+    )
+    doi_pair = [p for p in refined if {p[0], p[1]} == {"r026", "r027"}]
+    assert doi_pair, "same-DOI pair missing from refined output"
+    assert doi_pair[0][2] == 1
+    assert doi_pair[0] in truth
+
+
+def test_wildcards_pair_with_whole_group(refine_prepared, truth):
+    refined = _pairs(
+        candidate_pairs(
+            refine_prepared, max_block_size=10, prune=True
+        )
+    )
+    wc_partners = {
+        other
+        for (a, b, _r) in refined
+        for other in ((b,) if a == "r024" else (a,) if b == "r024" else ())
+    }
+    # the no-space title is prune-exempt against every group member
+    assert len(wc_partners) == 27
+    assert {p for p in refined if "r024" in (p[0], p[1])} == {
+        p for p in truth if "r024" in (p[0], p[1])
+    }
+
+
+def test_disjoint_title_pairs_still_pruned(refine_prepared):
+    refined = _pairs(
+        candidate_pairs(
+            refine_prepared, max_block_size=10, prune=True
+        )
+    )
+    # two unique-word records share no rule but rule 1 → must be absent
+    assert not any(
+        {a, b} == {"r012", "r013"} for (a, b, _r) in refined
+    )
+
+
+def test_refined_block_end_to_end(refine_prepared, spark):
+    from bib_dedupe_spark.operators.block import block
+
+    on = block(refine_prepared, max_block_size=10, refine_hot_keys=True)
+    off = block(refine_prepared, max_block_size=10, refine_hot_keys=False)
+    key = ["ID_1", "ID_2", "block_rule"]
+    assert sorted(map(tuple, on.select(*key).collect())) == sorted(
+        map(tuple, off.select(*key).collect())
+    )
