@@ -13,6 +13,7 @@ number, pages, year) tuple. Runs inside the prep mapInPandas batch.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 MONTH_TOKENS = frozenset(
     [
@@ -72,8 +73,9 @@ def strip_no_pagination(text: str) -> str:
     """Drop '(no pagination)' fragments and collapse whitespace."""
     if not text:
         return ""
-    text = _RE_NO_PAGINATION.sub("", text)
-    return _RE_WS.sub(" ", text).strip()
+    if "(" in text:
+        text = _RE_NO_PAGINATION.sub("", text)
+    return " ".join(text.split())
 
 
 def is_monthish(token: str) -> bool:
@@ -107,6 +109,20 @@ def _loose(text: str) -> str:
     return _RE_NON_ALNUM.sub("", text.lower())
 
 
+@lru_cache(maxsize=4096)
+def _journal_strip_re(journal_key: str):
+    """Compiled journal-name stripper, cached per journal.
+
+    A corpus has few distinct journals but millions of rows; compiling
+    the word-joined pattern per ROW (what an inline re.sub does once the
+    re-module cache thrashes) was the dominant cost of this detector.
+    The key is the whitespace-normalized word sequence, which is the
+    only input the pattern depends on.
+    """
+    pattern = r"[\W_]*".join(map(re.escape, journal_key.split()))
+    return re.compile(rf"(?:{pattern})+", re.IGNORECASE)
+
+
 def title_is_journal_only(title: str, journal: str) -> bool:
     """True if the title is essentially just the journal name (± metadata)."""
     if not title or not journal:
@@ -120,14 +136,29 @@ def title_is_journal_only(title: str, journal: str) -> bool:
     if not j_norm or len(j_norm) < 8:
         return False
 
-    base = _RE_META_TAIL.sub("", t).strip()
+    # the meta-tail pattern can only match a title ending in a digit or
+    # ')' (after strip); skipping the scan otherwise returns t unchanged
+    if t[-1].isdigit() or t[-1] == ")":
+        base = _RE_META_TAIL.sub("", t).strip()
+    else:
+        base = t
 
-    journal_words = [w for w in re.split(r"\s+", j) if w]
+    journal_words = j.split()
     if not journal_words:
         return False
-    journal_pattern = r"[\W_]*".join(map(re.escape, journal_words))
-    stripped = re.sub(
-        rf"(?:{journal_pattern})+", "", base, flags=re.IGNORECASE
+
+    base_norm = _loose(base)
+    jw0 = _loose(journal_words[0])
+    if jw0 and jw0 not in base_norm:
+        # the journal pattern starts with word 1, so it cannot match and
+        # stripped == base; the two tail equalities are also impossible
+        # (j_norm contains jw0). Most rows exit here without the sub.
+        if base_norm == "" or base_norm.isdigit():
+            return True
+        return bool(_RE_META_ONLY.fullmatch(base))
+
+    stripped = _journal_strip_re(" ".join(journal_words)).sub(
+        "", base
     ).strip()
 
     stripped_norm = _RE_NON_ALNUM.sub("", stripped.lower())
@@ -135,7 +166,6 @@ def title_is_journal_only(title: str, journal: str) -> bool:
         return True
     if _RE_META_ONLY.fullmatch(stripped):
         return True
-    base_norm = _loose(base)
     return base_norm == j_norm or base_norm == j_norm * 2
 
 
@@ -155,7 +185,7 @@ def fix_row(
     year = year_out.strip()
 
     # pages carrying a parenthesized issue label: "(1)" → number
-    m = _RE_PAREN_ONLY.match(pages)
+    m = _RE_PAREN_ONLY.match(pages) if pages.startswith("(") else None
     if m:
         issue = m.group(1).strip()
         if number == "" and not is_monthish(issue):
@@ -163,7 +193,7 @@ def fix_row(
         pages = ""
 
     # volume that is only "(...)": issue without volume, or monthish noise
-    m = _RE_PAREN_ONLY.match(volume)
+    m = _RE_PAREN_ONLY.match(volume) if volume.startswith("(") else None
     if m:
         token = m.group(1).strip()
         if number == "" and not is_monthish(token):
@@ -171,7 +201,7 @@ def fix_row(
         volume = ""
 
     # a year (optionally "+ (issue)") stored in the volume column
-    m = _RE_YEAR_VOLUME.match(volume)
+    m = _RE_YEAR_VOLUME.match(volume) if volume[:1].isdigit() else None
     if m:
         year_value = (m.group(1) or "").strip()
         issue = (m.group(2) or "").strip()
@@ -182,7 +212,7 @@ def fix_row(
         volume = ""
 
     # main pattern: "V (X)" — volume with embedded issue
-    m = _RE_VOL_ISSUE.match(volume)
+    m = _RE_VOL_ISSUE.match(volume) if "(" in volume else None
     if m:
         vol_part = m.group(1).strip()
         issue = m.group(2).strip()

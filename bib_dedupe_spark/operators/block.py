@@ -171,6 +171,67 @@ def _inline_prune_flags(df: DataFrame) -> DataFrame:
     )
 
 
+def _refine_base(keys: DataFrame, hot_ref: DataFrame) -> DataFrame:
+    """Hot-group key rows with distinct-token count and wildcard flag."""
+    base = keys.join(F.broadcast(hot_ref), ["rule_idx", "key"])
+    return base.withColumn(
+        "_d", F.size(F.array_distinct("_tok"))
+    ).withColumn(
+        "_wc", (~F.col("_title").contains(" ")) | (F.col("_d") == 0)
+    )
+
+
+def _word_prefix_tables(base: DataFrame):
+    """(all-words, prefix-words) tables for the refined word join.
+
+    ``prefix`` keeps each non-wildcard record's ⌊(d−1)/2⌋+1 rarest
+    distinct words (group-local document frequency ``_wdf``, ties by
+    word) — the probe side of the AllPairs join; ``words`` is the full
+    index side.
+    """
+    words = base.filter(~F.col("_wc")).select(
+        "rule_idx",
+        "rto",
+        "key",
+        C.ID,
+        *_CARRY,
+        F.col("_d"),
+        F.explode(F.array_distinct("_tok")).alias("_w"),
+    )
+    wdf = words.groupBy("rule_idx", "key", "_w").agg(
+        F.count("*").alias("_wdf")
+    )
+    win = Window.partitionBy("rule_idx", "key", C.ID).orderBy("_wdf", "_w")
+    prefix = (
+        words.join(wdf, ["rule_idx", "key", "_w"])
+        .withColumn("_rank", F.row_number().over(win))
+        .filter(F.col("_rank") <= F.floor((F.col("_d") - 1) / 2) + 1)
+    )
+    return words, prefix
+
+
+# Route a hot overlap-rule group to the word join only when its estimated
+# emission is under this fraction of the all-pairs volume: low-vocabulary
+# groups (every title shares words with every other) would emit MORE
+# word-join rows than the quadratic join they replace.
+REFINE_COST_RATIO = 0.5
+
+
+def word_join_cost(keys: DataFrame, hot_ref: DataFrame) -> DataFrame:
+    """Exact per-key emission estimate of the refined word join.
+
+    Each prefix row (record, word) matches ``_wdf`` index rows, so the
+    join's output volume per (rule, key) is Σ_prefix _wdf — computed
+    from the same word/prefix tables the join itself would use. Routing
+    on it is semantics-free: both branches produce the identical final
+    pair set; this only picks the cheaper physical plan per group.
+    """
+    _words, prefix = _word_prefix_tables(_refine_base(keys, hot_ref))
+    return prefix.groupBy("rule_idx", "key").agg(
+        F.sum("_wdf").alias("_est")
+    )
+
+
 def _refined_hot_pairs(
     keys: DataFrame,
     hot_ref: DataFrame,
@@ -208,11 +269,7 @@ def _refined_hot_pairs(
     restored exactly by the post-prune recovery join in
     :func:`candidate_pairs`.
     """
-    base = keys.join(F.broadcast(hot_ref), ["rule_idx", "key"])
-    dtok = F.array_distinct("_tok")
-    base = base.withColumn("_d", F.size(dtok)).withColumn(
-        "_wc", (~F.col("_title").contains(" ")) | (F.col("_d") == 0)
-    )
+    base = _refine_base(keys, hot_ref)
 
     # --- wildcard × all (bucketed; each unordered pair emitted once) ---
     n_buckets = F.ceil(F.col("_block_n") / F.lit(salt_bucket_size)).cast(
@@ -242,24 +299,7 @@ def _refined_hot_pairs(
     )
 
     # --- prefix-filtered word join over non-wildcards ---
-    words = base.filter(~F.col("_wc")).select(
-        "rule_idx",
-        "rto",
-        "key",
-        C.ID,
-        *_CARRY,
-        F.col("_d"),
-        F.explode(dtok).alias("_w"),
-    )
-    wdf = words.groupBy("rule_idx", "key", "_w").agg(
-        F.count("*").alias("_wdf")
-    )
-    win = Window.partitionBy("rule_idx", "key", C.ID).orderBy("_wdf", "_w")
-    prefix = (
-        words.join(wdf, ["rule_idx", "key", "_w"])
-        .withColumn("_rank", F.row_number().over(win))
-        .filter(F.col("_rank") <= F.floor((F.col("_d") - 1) / 2) + 1)
-    )
+    words, prefix = _word_prefix_tables(base)
     word_pairs = (
         sided(prefix, "l", ("rule_idx", "rto", "key", "_w"))
         .join(
@@ -466,6 +506,31 @@ def candidate_pairs(
                 ]
             else:
                 ref_rows, salt_rows = [], hot_rows
+            if ref_rows:
+                # cost-based routing per hot key: word-join only where
+                # its measured emission beats the quadratic join (e.g. a
+                # tiny-vocabulary group shares words everywhere and is
+                # cheaper salted). Both branches are exact, so this is a
+                # physical-plan choice, not a semantic one.
+                est_df = word_join_cost(
+                    keys,
+                    records_df.sparkSession.createDataFrame(
+                        ref_rows, schema=counts.schema
+                    ),
+                )
+                est = {
+                    (r["rule_idx"], r["key"]): r["_est"]
+                    for r in est_df.collect()
+                }
+                routed = []
+                for r in ref_rows:
+                    n = r["_block_n"]
+                    e = est.get((r["rule_idx"], r["key"]), 0)
+                    if e < REFINE_COST_RATIO * n * (n - 1) / 2:
+                        routed.append(r)
+                    else:
+                        salt_rows.append(r)
+                ref_rows = routed
 
             swap = F.col("ID_l") > F.col("ID_r")
             hot_cols = [

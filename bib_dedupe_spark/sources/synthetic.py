@@ -44,9 +44,58 @@ _VENUES = [
 ]
 
 
-def _title(rng: random.Random) -> str:
+# realistic-entropy title pool: web/bibliographic text draws from a
+# 10^4-10^5-word vocabulary with a Zipf frequency profile, unlike the
+# deliberately tiny _WORDS pool above (which stresses the dense
+# shared-word regime). Built lazily; deterministic.
+_ZIPF_VOCAB = 5000
+_ZIPF_S = 1.07
+_zipf_pool: list = []
+_zipf_cum: list = []
+
+
+def _zipf_tables():
+    if not _zipf_pool:
+        import itertools
+
+        # pronounceable deterministic pseudo-words, no digits (prep
+        # strips digits from blocking keys)
+        cons = "btkdrmnslpvgz"
+        vow = "aeiou"
+        syll = ["".join(p) for p in itertools.product(cons, vow)]
+        words = []
+        i = 0
+        while len(words) < _ZIPF_VOCAB:
+            a = syll[i % len(syll)]
+            b = syll[(i * 7 + 3) % len(syll)]
+            c = syll[(i * 13 + 11) % len(syll)]
+            w = a + b + (c if i % 3 else "")
+            if w not in words[-50:]:
+                words.append(w)
+            i += 1
+        total = 0.0
+        cum = []
+        for r in range(len(words)):
+            total += 1.0 / (r + 1) ** _ZIPF_S
+            cum.append(total)
+        _zipf_pool.extend(words)
+        _zipf_cum.extend(c / total for c in cum)
+    return _zipf_pool, _zipf_cum
+
+
+def _zipf_word(rng: random.Random) -> str:
+    import bisect
+
+    pool, cum = _zipf_tables()
+    return pool[bisect.bisect_left(cum, rng.random())]
+
+
+def _title(rng: random.Random, vocab: str = "dense") -> str:
     n = rng.randint(6, 12)
-    words = [rng.choice(_WORDS) for _ in range(n)]
+    if vocab == "zipf":
+        words = [_zipf_word(rng) for _ in range(n)]
+    else:
+        words = [rng.choice(_WORDS) for _ in range(n)]
     return (" ".join(words)).capitalize()
 
 
@@ -124,6 +173,7 @@ def generate(
     dup_rate: float = 0.4,
     seed: int = 42,
     messy: bool = False,
+    title_vocab: str = "dense",
 ) -> tuple:
     """Return (records: list[dict], duplicate_pairs: set[frozenset]).
 
@@ -131,6 +181,10 @@ def generate(
     fraction of records get a hard true-negative sibling instead.
     ``messy=True`` additionally corrupts field formatting with the
     real-world noise patterns the prep layer must normalize away.
+    ``title_vocab="zipf"`` draws titles from a 5000-word Zipf pool (the
+    realistic web-text entropy regime) instead of the tiny default pool;
+    variants still derive from the base title, so golden duplicate pairs
+    and the F1 evaluation remain meaningful in both regimes.
     """
     rng = random.Random(seed)
     records: list = []
@@ -151,7 +205,7 @@ def generate(
         start = rng.randint(1, 900)
         pages = f"{start}-{start + rng.randint(4, 40)}"
         doi = f"10.{rng.randint(1000, 9999)}/{rng.randint(100000, 999999)}"
-        title = _title(rng)
+        title = _title(rng, title_vocab)
         abstract = ""
         if rng.random() < 0.4:
             abstract = (
@@ -231,7 +285,7 @@ def generate(
             elif trap == 2:
                 end = int(pages.split("-")[1])
                 neg["pages"] = f"{end + 1}-{end + 20}"  # adjacent range
-                neg["title"] = _title(rng).capitalize()
+                neg["title"] = _title(rng, title_vocab).capitalize()
                 neg["doi"] = ""
             else:
                 neg["year"] = str(year + 5)

@@ -44,7 +44,7 @@ def run_stream(
     """Feed ``n_batches`` equal batches through link_batch; per-batch walls."""
     import tempfile
 
-    from bib_dedupe_spark.sources.io import compact_corpus_index
+    from bib_dedupe_spark.sources.io import compact_corpus_index, compact_edges
     from bib_dedupe_spark.streaming.dedup_stream import link_batch
 
     work = tempfile.mkdtemp(prefix="incr_probe_")
@@ -55,7 +55,9 @@ def run_stream(
     # unique per run: a previous run's orphaned warehouse dir would fail
     # saveAsTable with LOCATION_ALREADY_EXISTS
     index_table = "incr_probe_index_" + Path(work).name.split("_")[-1]
+    edges_table = "incr_probe_edges_" + Path(work).name.split("_")[-1]
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {edges_table}")
 
     def _host(rid: str) -> str:
         if hot:
@@ -71,6 +73,7 @@ def run_stream(
         )
 
     walls = []
+    compact_walls = []
     for b in range(n_batches):
         chunk = records[b * batch_records : (b + 1) * batch_records]
         pages = pd.DataFrame(
@@ -111,14 +114,20 @@ def run_stream(
         )
         walls.append(round(time.time() - t0, 2))
         if compact_every and (b + 1) % compact_every == 0:
+            # BOTH sinks, like a production stop→compact→resume cycle;
+            # the wall is tracked separately so batches/hour can be
+            # reported with compaction amortized over the interval
+            t0 = time.time()
             compact_corpus_index(spark, keys_path, index_table, buckets=16)
+            compact_edges(spark, edges_path, edges_table, buckets=16)
+            compact_walls.append(round(time.time() - t0, 2))
         if not quiet:
             print(
                 f"batch {b}: corpus={(b + 1) * batch_records} "
                 f"wall={walls[-1]}s",
                 flush=True,
             )
-    return walls
+    return walls, compact_walls
 
 
 def main() -> None:
@@ -143,7 +152,7 @@ def main() -> None:
 
     records, _ = generate(n_base=n_batches * batch_records, seed=99)
 
-    walls = run_stream(
+    walls, compact_walls = run_stream(
         spark, records, n_batches, batch_records, hot, hot_strategy,
         compact_every,
     )
@@ -167,6 +176,19 @@ def main() -> None:
         "batches_per_hour": round(3600 / tail, 1),
         "records_per_hour": round(3600 / tail * batch_records),
     }
+    if compact_walls:
+        # compaction cost amortized over the batches between compactions
+        amortized = tail + sum(compact_walls) / len(compact_walls) / max(
+            compact_every, 1
+        )
+        out["compaction"] = {
+            "walls_s": compact_walls,
+            "amortized_batch_s": round(amortized, 2),
+            "batches_per_hour_amortized": round(3600 / amortized, 1),
+            "records_per_hour_amortized": round(
+                3600 / amortized * batch_records
+            ),
+        }
 
     if split:
         # second stream at 4x the batch size: two steady-state walls at
@@ -176,7 +198,7 @@ def main() -> None:
         # drowns in co-tenant noise)
         big_b = batch_records * 4
         records_big, _ = generate(n_base=n_batches * big_b, seed=101)
-        walls_big = run_stream(
+        walls_big, _cw = run_stream(
             spark,
             records_big,
             n_batches,

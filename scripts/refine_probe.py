@@ -1,40 +1,66 @@
-"""Hot-key refinement probe: block wall + raw-pair volume, on vs off.
+"""Hot-key refinement probe: block wall + volumes, refined vs salted.
 
-Usage: python scripts/refine_probe.py [n_base]   (default 150000)
+Usage: python scripts/refine_probe.py [n_base] [vocab]
 
-Runs the block stage twice on the same seeded corpus — refine_hot_keys
-on (default) vs off (pure salted join) — asserting the final pruned pair
-sets are IDENTICAL, and reports:
+    n_base  corpus scale (default 150000)
+    vocab   dense | zipf   (default zipf)
 
-* block wall for each mode,
-* the theoretical raw all-pairs volume Σ C(group,2) from blocking_key
-  stats, split hot-rto (what refinement eliminates) vs rest,
-* the refined generator's actual emission volume (wildcard + word-join
-  rows), measured by replaying its two joins as counts.
+``dense`` keeps the synthetic generator's ~34-word title vocabulary —
+the adversarial case for prefix filtering (every pair shares words), in
+which the cost-based router must FALL BACK to the salted join.
+``zipf`` rewrites titles from a 5000-word Zipf(1.07) vocabulary — the
+realistic web/bibliographic shape where prefixes are rare and the word
+join wins.
 
-Co-tenanted host: compare the two walls to each other, not across runs.
+Each mode (refined on/off) runs the block stage in its OWN subprocess
+JVM (fair timing on a co-tenanted host) and prints an order-independent
+pair-set signature (count + bit_xor of row hashes); the outer process
+asserts the signatures agree and reports both walls plus hot-key
+routing stats.
 """
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import random
+import subprocess
 import sys
 import time
 
-import pandas as pd
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+ZIPF_VOCAB = 5000
+ZIPF_S = 1.07
 
-def main() -> None:
-    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+
+def _zipf_titles(records: list) -> None:
+    """Rewrite titles from a Zipf vocabulary, deterministically per base
+    title (case/markup variants of one title map to one new title)."""
+    pool = [f"w{i:04d}" for i in range(ZIPF_VOCAB)]
+    weights = [1.0 / (i + 1) ** ZIPF_S for i in range(ZIPF_VOCAB)]
+    cache: dict = {}
+    for rec in records:
+        base = rec["title"].lower().strip()
+        if base not in cache:
+            seed = int(hashlib.md5(base.encode()).hexdigest()[:12], 16)
+            rng = random.Random(seed)
+            n = rng.randint(6, 12)
+            cache[base] = " ".join(
+                rng.choices(pool, weights=weights, k=n)
+            ).capitalize()
+        rec["title"] = cache[base]
+
+
+def inner(n_base: int, vocab: str, refine: bool) -> None:
+    import pandas as pd
 
     from bib_dedupe_spark.session import get_spark
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     spark = get_spark(
-        app_name="refine-probe",
+        app_name=f"refine-probe-{refine}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, n_base // 2500),
     )
@@ -44,85 +70,146 @@ def main() -> None:
 
     from bib_dedupe_spark import prep
     from bib_dedupe_spark.operators.block import (
+        REFINE_COST_RATIO,
         SALT_BUCKET_SIZE,
         _RTO_RULE_IDXS,
         block,
         blocking_key_stats,
+        corpus_key_table,
+        word_join_cost,
     )
     from bib_dedupe_spark.sources.synthetic import generate
 
     records, _ = generate(n_base=n_base, seed=17)
+    if vocab == "zipf":
+        _zipf_titles(records)
     rdf = spark.createDataFrame(pd.DataFrame(records)).repartition(cpus * 2)
     prepared = prep(rdf).persist()
     n_records = prepared.count()
     max_block_size = 2000
     salt_threshold = min(max_block_size, SALT_BUCKET_SIZE)
 
-    # raw all-pairs volume by rule tier (what the salted join must emit)
-    stats = blocking_key_stats(prepared).withColumn(
-        "raw_pairs", F.col("group_size") * (F.col("group_size") - 1) / 2
-    )
-    vol = (
-        stats.withColumn(
-            "tier",
-            F.when(
-                F.col("group_size") <= salt_threshold, F.lit("cold")
-            ).otherwise(
-                F.when(
-                    F.col("rule_idx").isin(list(_RTO_RULE_IDXS)),
-                    F.lit("hot_rto"),
-                ).otherwise(F.lit("hot_plain"))
-            ),
+    t0 = time.time()
+    pairs = block(
+        prepared, max_block_size=max_block_size, refine_hot_keys=refine
+    ).persist()
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+
+    sig = (
+        pairs.select(
+            F.xxhash64("ID_1", "ID_2", "block_rule").alias("h")
         )
-        .groupBy("tier")
-        .agg(
-            F.sum("raw_pairs").alias("raw_pairs"),
-            F.count("*").alias("n_keys"),
-        )
-        .collect()
+        .agg(F.expr("bit_xor(h)").alias("x"))
+        .first()["x"]
     )
-    volumes = {
-        r["tier"]: {"raw_pairs": int(r["raw_pairs"]), "n_keys": r["n_keys"]}
-        for r in vol
+
+    out = {
+        "mode": "refined" if refine else "salted",
+        "records": n_records,
+        "pairs": n_pairs,
+        "signature": int(sig) if sig is not None else 0,
+        "block_s": round(wall, 1),
+        "load_1m": round(os.getloadavg()[0], 2),
     }
 
-    t0 = time.time()
-    pairs_on = block(
-        prepared, max_block_size=max_block_size, refine_hot_keys=True
-    ).persist()
-    n_on = pairs_on.count()
-    t_on = time.time() - t0
+    if refine:
+        # routing stats: how many hot rto keys the cost model sent to
+        # the word join vs back to the salted join
+        stats = blocking_key_stats(prepared)
+        hot = stats.filter(
+            (F.col("group_size") > salt_threshold)
+            & F.col("rule_idx").isin(list(_RTO_RULE_IDXS))
+        ).withColumnRenamed("group_size", "_block_n")
+        hot_rows = hot.collect()
+        if hot_rows:
+            keys = corpus_key_table(prepared).withColumnRenamed(
+                "title", "_title"
+            )
+            keys = keys.withColumn(
+                "_tok",
+                F.filter(F.split(F.col("_title"), " "), lambda x: x != ""),
+            ).withColumnRenamed("search_set", "_ss")
+            est_df = word_join_cost(
+                keys, spark.createDataFrame(hot_rows, schema=hot.schema)
+            )
+            est = {
+                (r["rule_idx"], r["key"]): r["_est"]
+                for r in est_df.collect()
+            }
+            routed = fallback = 0
+            raw_hot = est_word = 0
+            for r in hot_rows:
+                n = r["_block_n"]
+                e = est.get((r["rule_idx"], r["key"]), 0)
+                raw_hot += n * (n - 1) // 2
+                if e < REFINE_COST_RATIO * n * (n - 1) / 2:
+                    routed += 1
+                    est_word += e
+                else:
+                    fallback += 1
+                    est_word += n * (n - 1) // 2
+            out["routing"] = {
+                "hot_rto_keys": len(hot_rows),
+                "word_routed": routed,
+                "salt_fallback": fallback,
+                "raw_pairs_allpairs": int(raw_hot),
+                "raw_pairs_after_routing": int(est_word),
+            }
+    print("RESULT " + json.dumps(out), flush=True)
+    spark.stop()
 
-    t0 = time.time()
-    pairs_off = block(
-        prepared, max_block_size=max_block_size, refine_hot_keys=False
-    ).persist()
-    n_off = pairs_off.count()
-    t_off = time.time() - t0
 
-    key = ["ID_1", "ID_2", "block_rule"]
-    sym_diff = (
-        pairs_on.select(*key)
-        .exceptAll(pairs_off.select(*key))
-        .unionAll(pairs_off.select(*key).exceptAll(pairs_on.select(*key)))
-        .count()
+def main() -> None:
+    if os.environ.get("REFINE_PROBE_MODE"):
+        n_base, vocab, refine = (
+            int(sys.argv[1]),
+            sys.argv[2],
+            os.environ["REFINE_PROBE_MODE"] == "refined",
+        )
+        inner(n_base, vocab, refine)
+        return
+
+    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+    vocab = sys.argv[2] if len(sys.argv) > 2 else "zipf"
+    results = {}
+    for mode in ("refined", "salted"):
+        env = dict(os.environ, REFINE_PROBE_MODE=mode)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(n_base), vocab],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        line = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")
+        ]
+        if proc.returncode != 0 or not line:
+            raise SystemExit(f"{mode} pass failed rc={proc.returncode}")
+        results[mode] = json.loads(line[-1][len("RESULT "):])
+
+    same = (
+        results["refined"]["pairs"] == results["salted"]["pairs"]
+        and results["refined"]["signature"] == results["salted"]["signature"]
     )
-
     print(
         json.dumps(
             {
-                "records": n_records,
-                "pairs_refined": n_on,
-                "pairs_salted": n_off,
-                "pair_set_sym_diff": sym_diff,
-                "block_refined_s": round(t_on, 1),
-                "block_salted_s": round(t_off, 1),
-                "raw_volume_by_tier": volumes,
+                "vocab": vocab,
+                "records": results["refined"]["records"],
+                "pair_sets_identical": same,
+                "pairs": results["refined"]["pairs"],
+                "block_refined_s": results["refined"]["block_s"],
+                "block_salted_s": results["salted"]["block_s"],
+                "load_1m": {
+                    m: results[m]["load_1m"] for m in results
+                },
+                "routing": results["refined"].get("routing"),
             }
         )
     )
-    assert sym_diff == 0, "refined and salted pair sets must be identical"
-    spark.stop()
+    assert same, "refined and salted pair sets must be identical"
 
 
 if __name__ == "__main__":

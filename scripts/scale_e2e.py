@@ -1,6 +1,12 @@
 """End-to-end pipeline at larger synthetic scale: stage walls + F1.
 
-Usage: python scripts/scale_e2e.py [n_base]   (default 40000)
+Usage: python scripts/scale_e2e.py [n_base] [hot_key_strategy] [max_block_size] [refine] [vocab]
+
+    n_base           corpus scale (default 40000)
+    hot_key_strategy salt | drop   (default salt)
+    max_block_size   semantic block-size cap (default 2000)
+    refine           1 | 0 — refine_hot_keys (default 1)
+    vocab            dense | zipf — generator title vocabulary (default dense)
 
 Runs prep -> block -> sim+match -> cluster -> merge on a seeded corpus
 with known duplicate pairs and reports per-stage wall time plus pairwise
@@ -22,6 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
+    strategy = sys.argv[2] if len(sys.argv) > 2 else "salt"
+    max_block_size = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
+    refine = (sys.argv[4] != "0") if len(sys.argv) > 4 else True
+    vocab = sys.argv[5] if len(sys.argv) > 5 else "dense"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     from bib_dedupe_spark.session import get_spark
@@ -44,7 +54,7 @@ def main() -> None:
     from bib_dedupe_spark.operators.match import match
     from bib_dedupe_spark.sources.synthetic import generate
 
-    records, golden = generate(n_base=n_base, seed=17)
+    records, golden = generate(n_base=n_base, seed=17, title_vocab=vocab)
     golden = {frozenset(g) for g in golden}
     rdf = spark.createDataFrame(pd.DataFrame(records)).repartition(cpus * 2)
 
@@ -55,7 +65,12 @@ def main() -> None:
     walls["prep_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    pairs = block(prepared, max_block_size=2000).persist()
+    pairs = block(
+        prepared,
+        max_block_size=max_block_size,
+        hot_key_strategy=strategy,
+        refine_hot_keys=refine,
+    ).persist()
     n_pairs = pairs.count()
     walls["block_s"] = round(time.time() - t0, 1)
 
@@ -107,6 +122,10 @@ def main() -> None:
         json.dumps(
             {
                 "records": n_rec,
+                "title_vocab": vocab,
+                "hot_key_strategy": strategy,
+                "max_block_size": max_block_size,
+                "refine_hot_keys": refine,
                 "candidate_pairs": n_pairs,
                 "matched_edges": n_edges,
                 "clustered_nodes": n_nodes,

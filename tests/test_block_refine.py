@@ -20,8 +20,9 @@ from bib_dedupe_spark.operators.prep import prep
 def refine_prepared(spark):
     """One hot author_first+container group (rule 1, rto=True) holding:
 
-    * 12 records sharing most title words (pass the overlap prune),
-    * 12 records with globally unique title words (fail the prune),
+    * 8 records sharing most title words (pass the overlap prune),
+    * 40 records with globally unique title words (fail the prune) —
+      enough entropy that the cost router picks the word join,
     * 2 wildcard records (single-word, no-space titles — prune-exempt),
     * 2 records with mutually disjoint titles but the SAME DOI: kept via
       the DOI rule (AND of rto flags = False) yet attributed to rule 1
@@ -45,19 +46,19 @@ def refine_prepared(spark):
             "doi": doi,
         }
 
-    for i in range(12):
+    for i in range(8):
         rows.append(rec(i, f"effects of heat on mice cohort {i}"))
-    for i in range(12, 24):
+    for i in range(8, 48):
         rows.append(
             rec(i, f"zqx{i} wvu{i} ktn{i} plm{i} brd{i} fgh{i}")
         )
-    rows.append(rec(24, "heatstudy"))
-    rows.append(rec(25, "thermoreport"))
+    rows.append(rec(48, "heatstudy"))
+    rows.append(rec(49, "thermoreport"))
     rows.append(
-        rec(26, "aaa bbb ccc ddd eee fff", doi="10.1000/same-doi")
+        rec(50, "aaa bbb ccc ddd eee fff", doi="10.1000/same-doi")
     )
     rows.append(
-        rec(27, "ggg hhh iii jjj kkk lll", doi="10.1000/same-doi")
+        rec(51, "ggg hhh iii jjj kkk lll", doi="10.1000/same-doi")
     )
     return prep(spark.createDataFrame(pd.DataFrame(rows))).persist()
 
@@ -112,6 +113,47 @@ def test_refinement_actually_engaged(refine_prepared, monkeypatch):
     assert calls, "hot rto group did not route through the refined path"
 
 
+def test_dense_vocabulary_group_falls_back_to_salt(spark, monkeypatch):
+    """A hot group whose titles all share words (word-join emission ≥
+    the quadratic volume) must be routed BACK to the salted join by the
+    cost model — and still produce the exact pair set."""
+    rows = []
+    for i in range(30):
+        rows.append(
+            {
+                "ID": f"d{i:03d}",
+                "ENTRYTYPE": "article",
+                "author": "Dense, Dana",
+                "title": f"effects of heat on mice cohort {i}",
+                "journal": "journal of dense vocabularies",
+                "year": str(1950 + i),
+                "volume": "",
+                "number": "",
+                "pages": "",
+                "abstract": "",
+                "doi": "",
+            }
+        )
+    prepared = prep(spark.createDataFrame(pd.DataFrame(rows))).persist()
+    calls = []
+    orig = block_mod._refined_hot_pairs
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(block_mod, "_refined_hot_pairs", spy)
+    refined = _pairs(
+        candidate_pairs(prepared, max_block_size=10, prune=True)
+    )
+    assert not calls, "dense group should have routed back to salt"
+    truth = _pairs(
+        candidate_pairs(prepared, max_block_size=None, prune=True)
+    )
+    assert refined == truth
+    prepared.unpersist()
+
+
 def test_attribution_recovery_for_skipped_pairs(refine_prepared, truth):
     """The same-DOI disjoint-title pair survives via the DOI rule but is
     attributed to rule 1 (the hot rto rule) — min over ALL qualifying
@@ -121,7 +163,7 @@ def test_attribution_recovery_for_skipped_pairs(refine_prepared, truth):
             refine_prepared, max_block_size=10, prune=True
         )
     )
-    doi_pair = [p for p in refined if {p[0], p[1]} == {"r026", "r027"}]
+    doi_pair = [p for p in refined if {p[0], p[1]} == {"r050", "r051"}]
     assert doi_pair, "same-DOI pair missing from refined output"
     assert doi_pair[0][2] == 1
     assert doi_pair[0] in truth
@@ -136,12 +178,12 @@ def test_wildcards_pair_with_whole_group(refine_prepared, truth):
     wc_partners = {
         other
         for (a, b, _r) in refined
-        for other in ((b,) if a == "r024" else (a,) if b == "r024" else ())
+        for other in ((b,) if a == "r048" else (a,) if b == "r048" else ())
     }
     # the no-space title is prune-exempt against every group member
-    assert len(wc_partners) == 27
-    assert {p for p in refined if "r024" in (p[0], p[1])} == {
-        p for p in truth if "r024" in (p[0], p[1])
+    assert len(wc_partners) == 51
+    assert {p for p in refined if "r048" in (p[0], p[1])} == {
+        p for p in truth if "r048" in (p[0], p[1])
     }
 
 

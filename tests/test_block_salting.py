@@ -288,3 +288,21 @@ def test_salt_bucket_size_decoupled(skewed_prepared):
         )
     )
     assert dropped == unlimited  # no group exceeds 100 -> nothing dropped
+
+
+def test_hot_key_collect_bound_fails_loudly(skewed_prepared, monkeypatch):
+    """A degenerate corpus with more hot keys than the driver-collect
+    bound must raise a clear error instead of materializing an unbounded
+    hot table on the driver."""
+    import pytest
+
+    from bib_dedupe_spark.operators import block as block_mod
+
+    # the skewed fixture has several hot keys at threshold 10 (the one
+    # author_first+year group blocks under multiple rules); squeeze the
+    # bound below that count
+    monkeypatch.setattr(block_mod, "HOT_KEY_COLLECT_LIMIT", 1)
+    with pytest.raises(ValueError, match="hot-key threshold"):
+        candidate_pairs(
+            skewed_prepared, max_block_size=10, hot_key_strategy="salt"
+        ).collect()
