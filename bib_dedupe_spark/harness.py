@@ -116,6 +116,65 @@ def q_block_rule_attrib(spark, sf_dir):
     )
 
 
+def q_block_refined_pairs(spark, sf_dir):
+    """The REAL candidate_pairs operator with hot-group word-join
+    refinement forced on (tiny max_block_size makes every per-lang
+    author group hot; arithmetic 199-word titles give the entropy the
+    cost router needs to pick the prefix word join), compared against
+    straightforward DuckDB blocking + overlap-prune SQL. Pins the
+    refined generator, the wildcard/prefix machinery, and the
+    attribution-recovery join end to end (operators/block.py:174-290).
+    """
+    from bib_dedupe_spark import constants as C
+    from bib_dedupe_spark.operators.block import candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("lang").isNotNull() & (F.col("lang") != "")
+    )
+    title = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit("w"),
+                ((F.col("doc_id") * 7 + F.lit(i * 13)) % 199).cast("string"),
+            )
+            for i in range(6)
+        ],
+    )
+    empty = [
+        F.lit("").alias(c)
+        for c in (
+            C.TITLE_SHORT,
+            C.PAGES,
+            C.VOLUME,
+            C.NUMBER,
+            C.DOI,
+            C.ABSTRACT,
+            C.SEARCH_SET,
+        )
+    ]
+    rec = docs.select(
+        F.col("doc_id").alias(C.ID),
+        title.alias(C.TITLE),
+        F.col("lang").alias(C.AUTHOR_FIRST),
+        (F.lit(1990) + F.col("doc_id") % 30).cast("string").alias(C.YEAR),
+        F.lit("web").alias(C.CONTAINER_TITLE_SHORT),
+        *empty,
+    )
+    pairs = candidate_pairs(
+        rec,
+        max_block_size=32,
+        prune=True,
+        hot_key_strategy="salt",
+        refine_hot_keys=True,
+    )
+    return pairs.select(
+        F.col("ID_1").cast("long").alias("id1"),
+        F.col("ID_2").cast("long").alias("id2"),
+        F.col("rule_idx").cast("long").alias("rule_idx"),
+    )
+
+
 def q_same_set_prune(spark, sf_dir):
     """Same-search_set pair pruning (F3)."""
     docs = _docs(spark, sf_dir)
@@ -875,6 +934,7 @@ QUERIES = {
     "nonempty_key_filter": q_nonempty_key_filter,
     "block_pairs": q_block_pairs,
     "block_rule_attrib": q_block_rule_attrib,
+    "block_refined_pairs": q_block_refined_pairs,
     "same_set_prune": q_same_set_prune,
     "token_overlap_prune": q_token_overlap_prune,
     "enrich_join": q_enrich_join,
@@ -1329,6 +1389,37 @@ ORACLES = {
         " SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2"
         " FROM buckets a JOIN buckets b"
         " ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id"
+    ),
+    "block_refined_pairs": (
+        "WITH rec AS ("
+        " SELECT doc_id AS id, lang AS af, 1990 + doc_id % 30 AS yr,"
+        "  concat_ws(' ',"
+        "   'w' || CAST((doc_id*7 + 0) % 199 AS VARCHAR),"
+        "   'w' || CAST((doc_id*7 + 13) % 199 AS VARCHAR),"
+        "   'w' || CAST((doc_id*7 + 26) % 199 AS VARCHAR),"
+        "   'w' || CAST((doc_id*7 + 39) % 199 AS VARCHAR),"
+        "   'w' || CAST((doc_id*7 + 52) % 199 AS VARCHAR),"
+        "   'w' || CAST((doc_id*7 + 65) % 199 AS VARCHAR)) AS title"
+        " FROM documents WHERE lang IS NOT NULL AND lang <> ''), "
+        "pr AS ("
+        " SELECT a.id AS id1, b.id AS id2, r.rule_idx,"
+        "  a.title AS t1, b.title AS t2"
+        " FROM rec a JOIN rec b ON a.af = b.af AND a.id < b.id,"
+        "  (VALUES (0),(1)) r(rule_idx)"
+        " WHERE r.rule_idx = 1 OR a.yr = b.yr), "
+        "attr AS ("
+        " SELECT id1, id2, MIN(rule_idx) AS rule_idx,"
+        "  MIN(t1) AS t1, MIN(t2) AS t2"
+        " FROM pr GROUP BY id1, id2)"
+        " SELECT id1, id2, CAST(rule_idx AS BIGINT) AS rule_idx FROM attr"
+        " WHERE t1 = t2 OR NOT contains(t1, ' ') OR NOT contains(t2, ' ')"
+        "  OR 2 * len(list_intersect("
+        "       list_filter(string_split(t1, ' '), x -> x <> ''),"
+        "       list_filter(string_split(t2, ' '), x -> x <> '')))"
+        "     >= least(len(list_filter(string_split(t1, ' '), x -> x <> ''))"
+        "              + 1,"
+        "              len(list_filter(string_split(t2, ' '), x -> x <> ''))"
+        "              + 1)"
     ),
     "events_agg": (
         "SELECT user_id, count(*) AS n_events,"
