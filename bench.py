@@ -75,9 +75,14 @@ def run_dedupe(spark) -> dict:
     t_prep = time.time() - t0
 
     t0 = time.time()
-    pairs = block(prepared, max_block_size=2000).persist()
+    block_caches: list = []
+    pairs = block(
+        prepared, max_block_size=2000, cache_out=block_caches
+    ).persist()
     n_pairs = pairs.count()
     t_block = time.time() - t0
+    for df in block_caches:
+        df.unpersist()
 
     t0 = time.time()
     scored = score(pairs).persist()
@@ -96,12 +101,15 @@ def run_dedupe(spark) -> dict:
     )
     big_prepared = prep(big_rdf).persist()
     big_prepared.count()
+    big_block_caches: list = []
     big_pairs = (
-        block(big_prepared, max_block_size=2000)
+        block(big_prepared, max_block_size=2000, cache_out=big_block_caches)
         .repartition(CPUS * 4)
         .persist()
     )
     n_big = big_pairs.count()
+    for df in big_block_caches:
+        df.unpersist()
     # noop write: count() alone would let Catalyst prune the scoring UDF.
     # best-of-2: the host is co-tenanted, a single pass can land on a
     # tenant spike and misreport throughput by 5x (see BENCH_SCALING.md)

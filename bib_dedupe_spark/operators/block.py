@@ -225,6 +225,11 @@ def word_join_cost(keys: DataFrame, hot_ref: DataFrame) -> DataFrame:
     from the same word/prefix tables the join itself would use. Routing
     on it is semantics-free: both branches produce the identical final
     pair set; this only picks the cheaper physical plan per group.
+
+    Diagnostic/standalone form — :func:`candidate_pairs` inlines the
+    same aggregation over its shared prefix table so the routing
+    estimate and the pair join reuse one plan (and one persist, with
+    ``cache_out``).
     """
     _words, prefix = _word_prefix_tables(_refine_base(keys, hot_ref))
     return prefix.groupBy("rule_idx", "key").agg(
@@ -233,8 +238,9 @@ def word_join_cost(keys: DataFrame, hot_ref: DataFrame) -> DataFrame:
 
 
 def _refined_hot_pairs(
-    keys: DataFrame,
-    hot_ref: DataFrame,
+    base: DataFrame,
+    words: DataFrame,
+    prefix: DataFrame,
     salt_bucket_size: int,
     sided,
     out_cols: list,
@@ -268,8 +274,16 @@ def _refined_hot_pairs(
     First-rule attribution for pairs this generator legitimately skips is
     restored exactly by the post-prune recovery join in
     :func:`candidate_pairs`.
+
+    ``base`` / ``words`` / ``prefix`` are the :func:`_refine_base` /
+    :func:`_word_prefix_tables` outputs already restricted to the ROUTED
+    hot keys. The caller builds them ONCE over every refine-candidate
+    key (the cost estimate reads the same ``prefix``), so the
+    wdf-shuffle + window chain is not recomputed per consumer; because
+    ``_wdf`` and the prefix rank are group-local to (rule_idx, key),
+    filtering the prebuilt tables by routed key is bit-identical to
+    rebuilding them from the routed subset.
     """
-    base = _refine_base(keys, hot_ref)
 
     # --- wildcard × all (bucketed; each unordered pair emitted once) ---
     n_buckets = F.ceil(F.col("_block_n") / F.lit(salt_bucket_size)).cast(
@@ -299,7 +313,6 @@ def _refined_hot_pairs(
     )
 
     # --- prefix-filtered word join over non-wildcards ---
-    words, prefix = _word_prefix_tables(base)
     word_pairs = (
         sided(prefix, "l", ("rule_idx", "rto", "key", "_w"))
         .join(
@@ -332,6 +345,7 @@ def candidate_pairs(
     surrogate_ids: bool = False,
     salt_bucket_size: int | None = None,
     refine_hot_keys: bool = True,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (ID_1 < ID_2) with first-rule attribution.
 
@@ -377,6 +391,15 @@ def candidate_pairs(
 
     The exploded key table feeds several consumers; ``cache`` persists it
     so the upstream prep UDF pass runs once.
+
+    ``cache_out`` — when given, the refined path's shared prefix-word
+    table (whose two shuffles the routing cost estimate already forces)
+    is persisted and appended to the list; the CALLER unpersists after
+    consuming the returned pairs (match.py cache_out convention). When
+    ``None`` (default) nothing is persisted here — the prefix chain is
+    recomputed by the downstream action, trading one extra pass over the
+    hot-key words for a leak-free default (streaming calls this per
+    batch 0; a persist that outlives the call would accumulate).
     """
     base = records_df.filter(F.col(C.TITLE).isNotNull())
 
@@ -512,15 +535,31 @@ def candidate_pairs(
                 # tiny-vocabulary group shares words everywhere and is
                 # cheaper salted). Both branches are exact, so this is a
                 # physical-plan choice, not a semantic one.
-                est_df = word_join_cost(
-                    keys,
-                    records_df.sparkSession.createDataFrame(
-                        ref_rows, schema=counts.schema
-                    ),
+                #
+                # The refine base + word/prefix tables are built ONCE
+                # over every refine-candidate key and shared with the
+                # generator below (filtered to the routed subset —
+                # bit-identical because _wdf and the prefix rank are
+                # group-local to (rule_idx, key)). With ``cache_out``
+                # the prefix table (the wdf-shuffle + window chain the
+                # cost collect forces anyway) is persisted so the
+                # downstream pair join re-reads it instead of
+                # recomputing both shuffles.
+                cand_ref = records_df.sparkSession.createDataFrame(
+                    ref_rows, schema=counts.schema
                 )
+                rbase = _refine_base(keys, cand_ref)
+                rwords, rprefix = _word_prefix_tables(rbase)
+                if cache_out is not None:
+                    from pyspark.storagelevel import StorageLevel
+
+                    rprefix = rprefix.persist(StorageLevel.MEMORY_AND_DISK)
+                    cache_out.append(rprefix)
                 est = {
                     (r["rule_idx"], r["key"]): r["_est"]
-                    for r in est_df.collect()
+                    for r in rprefix.groupBy("rule_idx", "key")
+                    .agg(F.sum("_wdf").alias("_est"))
+                    .collect()
                 }
                 routed = []
                 for r in ref_rows:
@@ -566,25 +605,41 @@ def candidate_pairs(
                     "_salt",
                     F.pmod(F.xxhash64(C.ID), n_buckets).cast("int"),
                 )
-                # left side replicated toward every bucket ≥ its own: pair
-                # (a, b) with buckets i ≤ j is produced exactly once, by
-                # a's (or both's, when i == j) replica targeting bucket j
+                # Symmetric 2-D cell decomposition: a pair (a, b) with
+                # salt buckets i ≤ j meets exactly in cell (_i=i, _j=j) —
+                # the left side carries a record's replicas RIGHTWARD
+                # (cells (salt, j), j ≥ salt), the right side DOWNWARD
+                # (cells (i, salt), i ≤ salt); for i < j the pair is
+                # produced once, for i == j twice ((a,b) and (b,a), same
+                # as the unsalted self-join) and deduped by the
+                # downstream (ID_1, ID_2) aggregation. Every join cell is
+                # bucket × bucket (≤ salt_bucket_size² output) regardless
+                # of group size — unlike a probe-vs-own-bucket layout,
+                # whose LAST cell joins the whole group against one
+                # bucket (bucket·k output in a single task: the measured
+                # block straggler tail at a 1M-record corpus). Replica
+                # shuffle volume is ~2× that layout, but replicas are
+                # slim key rows; the join OUTPUT (which dominates) is
+                # identical.
                 salted_left = _sided(
                     salted.withColumn(
-                        "_to",
+                        "_j",
                         F.explode(F.sequence(F.col("_salt"), n_buckets - 1)),
-                    ),
+                    ).withColumn("_i", F.col("_salt")),
                     "l",
-                    ("rule_idx", "rto", "key", "_to"),
+                    ("rule_idx", "rto", "key", "_i", "_j"),
                 )
                 salted_right = _sided(
-                    salted.withColumn("_to", F.col("_salt")),
+                    salted.withColumn(
+                        "_i",
+                        F.explode(F.sequence(F.lit(0), F.col("_salt"))),
+                    ).withColumn("_j", F.col("_salt")),
                     "r",
-                    ("rule_idx", "key", "_to"),
+                    ("rule_idx", "key", "_i", "_j"),
                 )
                 hot_raw = (
                     salted_left.join(
-                        salted_right, ["rule_idx", "key", "_to"]
+                        salted_right, ["rule_idx", "key", "_i", "_j"]
                     ).filter(F.col("ID_l") != F.col("ID_r"))
                 )
                 hot_pairs = hot_raw.select(*hot_cols)
@@ -592,8 +647,16 @@ def candidate_pairs(
                 hot_ref = records_df.sparkSession.createDataFrame(
                     ref_rows, schema=counts.schema
                 )
+                routed_keys = F.broadcast(
+                    hot_ref.select("rule_idx", "key")
+                )
                 refined = _refined_hot_pairs(
-                    keys, hot_ref, salt_bucket_size, _sided, hot_cols
+                    rbase.join(routed_keys, ["rule_idx", "key"]),
+                    rwords.join(routed_keys, ["rule_idx", "key"]),
+                    rprefix.join(routed_keys, ["rule_idx", "key"]),
+                    salt_bucket_size,
+                    _sided,
+                    hot_cols,
                 )
                 hot_pairs = (
                     refined
@@ -746,6 +809,7 @@ def block(
     hot_key_strategy: str = "salt",
     surrogate_ids: bool = True,
     refine_hot_keys: bool = True,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Full blocking stage → enriched, pruned pair table.
 
@@ -773,6 +837,7 @@ def block(
         prune=True,
         surrogate_ids=surrogate_ids,
         refine_hot_keys=refine_hot_keys,
+        cache_out=cache_out,
     )
     return _enrich(pairs, records_df)
 

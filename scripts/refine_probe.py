@@ -90,11 +90,17 @@ def inner(n_base: int, vocab: str, refine: bool) -> None:
     salt_threshold = min(max_block_size, SALT_BUCKET_SIZE)
 
     t0 = time.time()
+    caches: list = []
     pairs = block(
-        prepared, max_block_size=max_block_size, refine_hot_keys=refine
+        prepared,
+        max_block_size=max_block_size,
+        refine_hot_keys=refine,
+        cache_out=caches,
     ).persist()
     n_pairs = pairs.count()
     wall = time.time() - t0
+    for df in caches:
+        df.unpersist()
 
     sig = (
         pairs.select(

@@ -65,14 +65,18 @@ def main() -> None:
     walls["prep_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
+    block_caches: list = []
     pairs = block(
         prepared,
         max_block_size=max_block_size,
         hot_key_strategy=strategy,
         refine_hot_keys=refine,
+        cache_out=block_caches,
     ).persist()
     n_pairs = pairs.count()
     walls["block_s"] = round(time.time() - t0, 1)
+    for df in block_caches:
+        df.unpersist()
 
     t0 = time.time()
     matched = match(pairs).persist()

@@ -208,3 +208,27 @@ def test_refined_block_end_to_end(refine_prepared, spark):
     assert sorted(map(tuple, on.select(*key).collect())) == sorted(
         map(tuple, off.select(*key).collect())
     )
+
+
+def test_cache_out_shares_prefix_table(refine_prepared, truth):
+    """cache_out persists the shared prefix table (the routing estimate
+    materializes it; the downstream word join re-reads the cache instead
+    of recomputing the wdf + window shuffles), the pair set is unchanged,
+    and the CALLER releases the cache."""
+    caches: list = []
+    out = candidate_pairs(
+        refine_prepared,
+        max_block_size=10,
+        prune=True,
+        cache_out=caches,
+    )
+    assert caches, "refined routing should have persisted the prefix table"
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk
+               for df in caches)
+    # the persisted prefix feeds the downstream join as a cache read
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert _pairs(out) == truth
+    for df in caches:
+        df.unpersist()
+    assert not caches[0].storageLevel.useMemory
