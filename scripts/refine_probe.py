@@ -178,22 +178,44 @@ def main() -> None:
 
     n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
     vocab = sys.argv[2] if len(sys.argv) > 2 else "zipf"
-    results = {}
-    for mode in ("refined", "salted"):
-        env = dict(os.environ, REFINE_PROBE_MODE=mode)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), str(n_base), vocab],
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
-            text=True,
-        )
-        line = [
-            ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")
-        ]
-        if proc.returncode != 0 or not line:
-            raise SystemExit(f"{mode} pass failed rc={proc.returncode}")
-        results[mode] = json.loads(line[-1][len("RESULT "):])
+    # best-of-N INTERLEAVED (R,S,R,S): the host is co-tenanted — a
+    # back-to-back layout lets one tenant spike land entirely on one
+    # mode and flip the comparison (observed 2x both directions)
+    passes = int(os.environ.get("REFINE_PROBE_PASSES", "2"))
+    results: dict = {}
+    loads: dict = {"refined": [], "salted": []}
+    for _ in range(passes):
+        for mode in ("refined", "salted"):
+            env = dict(os.environ, REFINE_PROBE_MODE=mode)
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    str(n_base),
+                    vocab,
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+            )
+            line = [
+                ln
+                for ln in proc.stdout.splitlines()
+                if ln.startswith("RESULT ")
+            ]
+            if proc.returncode != 0 or not line:
+                raise SystemExit(f"{mode} pass failed rc={proc.returncode}")
+            res = json.loads(line[-1][len("RESULT "):])
+            loads[mode].append(res["load_1m"])
+            prev = results.get(mode)
+            if prev is not None:
+                assert (res["pairs"], res["signature"]) == (
+                    prev["pairs"],
+                    prev["signature"],
+                ), f"{mode} passes disagree"
+            if prev is None or res["block_s"] < prev["block_s"]:
+                results[mode] = res
 
     same = (
         results["refined"]["pairs"] == results["salted"]["pairs"]
@@ -204,13 +226,12 @@ def main() -> None:
             {
                 "vocab": vocab,
                 "records": results["refined"]["records"],
+                "passes": passes,
                 "pair_sets_identical": same,
                 "pairs": results["refined"]["pairs"],
                 "block_refined_s": results["refined"]["block_s"],
                 "block_salted_s": results["salted"]["block_s"],
-                "load_1m": {
-                    m: results[m]["load_1m"] for m in results
-                },
+                "load_1m_per_pass": loads,
                 "routing": results["refined"].get("routing"),
             }
         )
