@@ -251,6 +251,25 @@ def link_batch(
             # nothing new in this batch (all urls already linked)
             return
 
+        # SEVER the per-batch lineage through the corpus write that has
+        # to happen anyway: every DataFrame transformation eagerly
+        # re-ANALYZES its whole logical plan, so feeding the blocking +
+        # match chain (~a dozen transformations) from the deep
+        # stream-source → prep-UDF → window → anti-join tree costs
+        # seconds of driver-serial time PER MICRO-BATCH (measured ~2 s
+        # at 8 cores — the plan, not the data, is what's slow; the data
+        # is cached). Writing first and reading the sealed partition
+        # back gives the downstream consumers a two-node parquet-scan
+        # plan, costs no extra storage (the write is required output),
+        # and unlike localCheckpoint is fault-tolerant and needs no
+        # GC-dependent block cleanup. Retry-safe: a failed later step
+        # re-enters with mode=overwrite replacing this same partition,
+        # and all corpus/key reads exclude _batch=<this id>.
+        prepared_batch.write.mode("overwrite").parquet(
+            f"{corpus_path}/_batch={batch_id}"
+        )
+        sealed_batch = spark.read.parquet(f"{corpus_path}/_batch={batch_id}")
+
         if corpus is not None:
             # delta blocking against the persisted key INDEX: candidate
             # generation is batch-keys (broadcast) ⋈ corpus_keys — the
@@ -267,7 +286,7 @@ def link_batch(
             # 0's full block: the salted within-batch join bounds
             # degenerate-key groups (pair set unchanged)
             pairs = block_delta(
-                prepared_batch,
+                sealed_batch,
                 corpus_keys,
                 corpus.drop("_batch"),
                 fresh_corpus_keys=fresh_keys,
@@ -276,7 +295,7 @@ def link_batch(
             )
         else:
             pairs = block(
-                prepared_batch,
+                sealed_batch,
                 max_block_size=max_block_size,
                 hot_key_strategy=hot_key_strategy,
             )
@@ -289,11 +308,8 @@ def link_batch(
         matched.write.mode("overwrite").parquet(
             f"{edges_path}/_batch={batch_id}"
         )
-        prepared_batch.write.mode("overwrite").parquet(
-            f"{corpus_path}/_batch={batch_id}"
-        )
         # maintain the blocking-key index alongside the corpus
-        corpus_key_table(prepared_batch).write.mode("overwrite").parquet(
+        corpus_key_table(sealed_batch).write.mode("overwrite").parquet(
             f"{keys_path}/_batch={batch_id}"
         )
         for df in batch_caches:
