@@ -32,16 +32,9 @@ from bib_dedupe_spark.operators import sim
 
 EDGE_COLUMNS = ["ID_1", "search_set_1", "search_set_2", "ID_2", C.DUPLICATE_LABEL]
 
-# raw columns the staged path drops before the persist barrier (their
-# payload is gated into _exp_in); stage-2 rule SQL must not read them
-_DROPPED_RAW = (
-    "author_1",
-    "author_2",
-    "author_full_1",
-    "author_full_2",
-    "abstract_1",
-    "abstract_2",
-)
+# raw columns whose payload the staged path gates into _exp_in; the
+# barrier's keep-list projection (_stage2_keep_columns) never retains
+# them, so stage-2 rule SQL must not read them
 _DROPPED_RAW_RE = re.compile(
     r"\b(?:author(?:_full)?_[12]|abstract_[12])\b", re.IGNORECASE
 )
@@ -254,6 +247,37 @@ def _staged_plan_cols(
     )
 
 
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _stage2_keep_columns(
+    columns: list,
+    duplicate_conditions: tuple | None,
+    non_duplicate_conditions: tuple | None,
+) -> list:
+    """Columns the staged barrier must materialize, in frame order.
+
+    Everything else is dropped BEFORE the persist: the label stage only
+    reads the edge columns, the decision/veto flags, the gated expensive
+    input struct, and whatever identifiers the rewritten stage-2 SQL
+    still references (cheap sims + piece flags + a handful of short raw
+    columns like year/pages — never the long title/container strings,
+    whose payload lives in the piece flags already). At ~1M pairs this
+    roughly halves the barrier's cached bytes, which is the staged
+    path's bandwidth-bound term.
+    """
+    _, _, dup_rw, _veto_rw, maybe_rw = _staged_plan_sql(
+        duplicate_conditions, non_duplicate_conditions
+    )
+    # case-insensitive: Spark resolves identifiers case-insensitively, so
+    # a rule spelled 'YEAR_1 = year_2' must keep the year_1 column
+    referenced = {
+        i.lower() for i in _IDENT_RE.findall(dup_rw + " " + maybe_rw)
+    }
+    required = set(EDGE_COLUMNS) | {"_decision", "_veto", "_exp_in"}
+    return [c for c in columns if c in required or c.lower() in referenced]
+
+
 def match_staged(
     pairs_df: DataFrame,
     abstract_cutoff: float | None = None,
@@ -323,12 +347,21 @@ def match_staged(
     df = df.withColumn(
         "_exp_in",
         sim.gated_expensive_inputs(F.col("_decision") == "undecided"),
-    ).drop(
-        # _veto stays: it is exact in stage 1 (vetoes read no expensive
-        # sim), so the stage-2 label reuses the cached boolean instead of
-        # re-evaluating the veto SQL against raw columns dropped below
-        *(k for k in bound_col_cols if k != "_veto"),
-        *_DROPPED_RAW,
+    )
+    df = df.select(
+        # keep-list projection: only what the post-barrier label stage
+        # reads survives into the cache (_veto stays — it is exact in
+        # stage 1, so stage 2 reuses the cached boolean instead of
+        # re-evaluating the veto SQL against dropped raw columns; the
+        # other bound flags and ALL unreferenced raw columns — notably
+        # the long title/container strings — are projected away)
+        *_stage2_keep_columns(
+            df.columns,
+            tuple(duplicate_conditions) if duplicate_conditions else None,
+            tuple(non_duplicate_conditions)
+            if non_duplicate_conditions
+            else None,
+        )
     )
     # MATERIALIZATION BARRIER — load-bearing, not an optimization knob:
     # PythonUDF is a plain expression, so without this persist

@@ -93,6 +93,16 @@ def test_staged_plan_shape(spark, pairs):
     caches[0].unpersist()
     assert "_exp_in" in cols and "_decision" in cols
     assert not {"abstract_1", "abstract_2", "author_full_1"} & cols
+    # keep-list projection: stage-2 label SQL never reads the long
+    # title/container strings, so the barrier must not cache them either
+    assert not {
+        "title_1",
+        "title_2",
+        "container_title_1",
+        "container_title_2",
+    } & cols
+    # ...but the short raw columns the maybe year-gap guard reads stay
+    assert {"year_1", "year_2"} <= cols
 
 
 # ---- structural invariants the bounds rely on ----------------------------
