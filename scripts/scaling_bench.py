@@ -83,7 +83,7 @@ def run_at(cores: int) -> dict:
     # dominant-stage load: a bigger corpus's NATURAL blocked pairs
     # (replicated pairs would hit the per-side kernel caches dishonestly)
     big_records, _ = generate(
-        n_base=int(os.environ.get("SCALING_THROUGHPUT_RECORDS", "40000")),
+        n_base=int(os.environ.get("SCALING_THROUGHPUT_RECORDS", "80000")),
         seed=7,
     )
     big_prepared = prep(
@@ -191,7 +191,7 @@ def main() -> None:
     out = {
         "n_records_base": N_RECORDS,
         "throughput_records": int(
-            os.environ.get("SCALING_THROUGHPUT_RECORDS", "40000")
+            os.environ.get("SCALING_THROUGHPUT_RECORDS", "80000")
         ),
         "host_note": (
             "co-tenanted 32-core sandbox (idle load ~8-12); levels chosen"
