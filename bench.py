@@ -349,10 +349,14 @@ def _merge_passes(passes: list) -> dict:
             best["kernels"][k] = min(best["kernels"][k], v)
         for k, v in p["dedupe"].items():
             cur = best["dedupe"][k]
-            if isinstance(v, (int, float)) and k.endswith("_s"):
-                best["dedupe"][k] = min(cur, v)
-            elif any(t in k for t in _DEDUPE_MAX_KEYS):
+            # throughput keys also end in "_s" (pairs_per_s), so the
+            # max-merge test must run before the wall-clock min-merge
+            if isinstance(v, (int, float)) and any(
+                t in k for t in _DEDUPE_MAX_KEYS
+            ):
                 best["dedupe"][k] = max(cur, v)
+            elif isinstance(v, (int, float)) and k.endswith("_s"):
+                best["dedupe"][k] = min(cur, v)
     best["value"] = round(sum(best["queries"].values()), 3)
     best["passes"] = len(passes)
     best["load_avg_per_pass"] = [p["load_avg"] for p in passes]
