@@ -383,42 +383,56 @@ def _shingles(spark, sf_dir, lang):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash + banded LSH near-dup candidates (md5 minwise hashing)."""
+    """MinHash + banded LSH near-dup candidates (md5 minwise hashing).
+
+    One pass per doc: the 8 per-seed minhashes are 8 min-aggregates of a
+    single groupBy(doc_id) (no 8× seed explode, no (doc_id, seed) + (doc_id,
+    band) shuffle chain), band signatures are column concats in seed order
+    (identical to the sorted-collect_list join of the per-seed rows), and
+    pair generation groups by (band, sig) once instead of self-joining the
+    whole bands subtree against itself — the old plan computed the full
+    scan→shingle→minhash→bands chain TWICE (once per join side) with 5
+    exchanges; this one computes it once with 3. Per-bucket pair expansion
+    is bounded by LSH bucket size (near-dup group), exactly like the join's
+    per-key output. Row set is unchanged (equivalence-checked + oracle)."""
     shingled = _shingles(spark, sf_dir, "en")
-    seeds = F.sequence(F.lit(0), F.lit(7))
-    hashed = shingled.select(
-        "doc_id",
-        F.explode(seeds).alias("seed"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "seed",
-        F.md5(
-            F.concat_ws("|", F.col("seed").cast("string"), "shingle")
-        ).alias("h"),
-    )
-    minhash = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    bands = (
-        minhash.withColumn("band", F.floor(F.col("seed") / 4).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("seed", "mh"))
-                    ),
-                    lambda s: s["mh"],
-                ),
-                "",
-            ).alias("sig")
+    mh = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(s)), "shingle"))).alias(
+            f"mh{s}"
         )
+        for s in range(8)
+    ]
+    sigs = shingled.groupBy("doc_id").agg(*mh)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.concat("mh0", "mh1", "mh2", "mh3").alias("sig"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.concat("mh4", "mh5", "mh6", "mh7").alias("sig"),
+                ),
+            )
+        ).alias("bs"),
+    ).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    b1 = bands.select(F.col("doc_id").alias("id1"), "band", "sig")
-    b2 = bands.select(F.col("doc_id").alias("id2"), "band", "sig")
+    groups = (
+        bands.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        b1.join(b2, ["band", "sig"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        groups.select(F.posexplode("ids").alias("_i", "id1"), "ids")
+        .select(
+            "id1",
+            F.explode(
+                F.slice("ids", F.col("_i") + 2, F.size("ids"))
+            ).alias("id2"),
+        )
         .distinct()
     )
 
@@ -646,54 +660,31 @@ def q_quality_flags(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """16-bit SimHash over distinct tokens (md5-derived bit planes)."""
+    """16-bit SimHash over distinct tokens (md5-derived bit planes).
+
+    hv = value of the first 4 md5 hex nibbles, computed with ONE md5 +
+    conv per token (the instr-ladder form evaluated md5 four times per
+    token); the 16 per-bit contribution sums are 16 integer aggregates of
+    a single groupBy(doc_id) — no 16× bit-row explode and one exchange
+    instead of the (doc_id, j) + (doc_id) two-shuffle chain. The bit
+    string concatenates in j order, identical to the sorted-collect_list
+    form. Row set is unchanged (equivalence-checked + oracle)."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
     )
-    hexv = F.expr(
-        "(instr('0123456789abcdef', substring(md5(t),1,1)) - 1) * 4096"
-        " + (instr('0123456789abcdef', substring(md5(t),2,1)) - 1) * 256"
-        " + (instr('0123456789abcdef', substring(md5(t),3,1)) - 1) * 16"
-        " + (instr('0123456789abcdef', substring(md5(t),4,1)) - 1)"
-    )
-    toks = docs.select("doc_id", hexv.alias("hv"))
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
-        "hv",
-    ).select(
-        "doc_id",
-        "j",
-        (
-            2
-            * (
-                F.floor(
-                    F.col("hv") / F.pow(F.lit(2), F.col("j"))
-                ).cast("long")
-                % 2
-            )
-            - 1
-        ).alias("contrib"),
-    )
-    sums = bits.groupBy("doc_id", "j").agg(F.sum("contrib").alias("s"))
-    return sums.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("j"),
-                            F.when(F.col("s") > 0, "1").otherwise("0").alias(
-                                "b"
-                            ),
-                        )
-                    )
-                ),
-                lambda s: s["b"],
-            ),
-            "",
-        ).alias("simhash")
-    )
+    hv = F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("int")
+    toks = docs.select("doc_id", hv.alias("hv"))
+    sums = [
+        F.sum(
+            2 * F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) - 1
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*sums)
+    bits = [
+        F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(16)
+    ]
+    return agg.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
 # ----------------------------------------------------------- embeddings
@@ -840,13 +831,18 @@ def q_embedding_sign_lsh(spark, sf_dir):
 # ------------------------------------------------------------- misc aggs
 
 def q_events_agg(spark, sf_dir):
-    """Per-user event aggregate (A5-7 style) with integer-scaled metrics."""
+    """Per-user event aggregate (A5-7 style) with integer-scaled metrics.
+
+    n_types via size(collect_set): event_type cardinality is tiny and
+    bounded (event taxonomy, not user data), so the set aggregate is safe
+    at any scale and the plan is ONE exchange instead of count_distinct's
+    two-shuffle expand; values identical (both ignore nulls)."""
     return (
         _events(spark, sf_dir)
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.count_distinct("event_type").alias("n_types"),
+            F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
             F.floor(F.max("value") * 100).cast("long").alias("max_value_cents"),
         )
     )

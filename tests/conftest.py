@@ -11,6 +11,11 @@ _REF_VARIANTS = Path("/root/reference/bib_dedupe/journal_variants.csv")
 if _REF_VARIANTS.is_file():
     os.environ.setdefault("BIB_DEDUPE_JOURNAL_VARIANTS", str(_REF_VARIANTS))
 
+# tests spin up many short-lived sessions (incl. subprocess tests); skip
+# the session-factory warm-up job — suites value startup time, and the
+# warm-up's first-query-latency benefit is irrelevant here
+os.environ.setdefault("SPARK_GRAFT_WARMUP", "0")
+
 
 @pytest.fixture(scope="session")
 def spark():
