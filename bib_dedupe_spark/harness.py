@@ -167,6 +167,7 @@ def q_block_refined_pairs(spark, sf_dir):
         prune=True,
         hot_key_strategy="salt",
         refine_hot_keys=True,
+        refine_min_quad=0,  # force routing despite the tiny fixture
     )
     return pairs.select(
         F.col("ID_1").cast("long").alias("id1"),

@@ -111,22 +111,45 @@ def _build_key_entries():
     return F.array_compact(F.array(*entries))
 
 
-_CARRY = ("_title", "_tok", "_ss")
+_CARRY = ("_th", "_sp", "_tl", "_nt", "_tokh", "_ss")
 
 
 def _carry_columns():
-    """Per-record pruning payload carried through the key table."""
+    """Per-record pruning payload carried through the key table.
+
+    The payload rides EVERY key row (one per passing blocking rule, up
+    to 16 per record) through the heaviest shuffles of the job, so it is
+    hashed down to fixed-width proxies instead of shipping the title and
+    its token multiset as strings: _th = xxhash64(title) (title-equality
+    exemption), _sp = title has a space (wildcard/exemption), _tl =
+    title length (the both-empty case), _nt = token-multiset size (the
+    prune denominator), _tokh = DISTINCT xxhash64 per token (the prune's
+    shared-distinct-word count — array_intersect is set-semantics either
+    way). Only the search_set string stays verbatim (short, and its
+    null-propagation semantics must match the reference exactly). A
+    64-bit cross-token collision flips one prune verdict with
+    probability ~2^-50 at corpus scale — the same accepted trade as the
+    harness token_overlap_prune query. Measured: the string payload was
+    ~2× the key-row bytes and array_intersect over strings dominated the
+    raw-pair stage CPU.
+    """
     from bib_dedupe_spark.plancache import cached_fragment
 
     def _build():
         title = F.col(C.TITLE)
+        tokens = F.filter(F.split(title, " "), lambda x: x != "")
         return [
-            title.alias("_title"),
-            F.filter(F.split(title, " "), lambda x: x != "").alias("_tok"),
+            F.xxhash64(title).alias("_th"),
+            title.contains(" ").alias("_sp"),
+            F.length(title).alias("_tl"),
+            F.size(tokens).alias("_nt"),
+            F.array_distinct(
+                F.transform(tokens, lambda x: F.xxhash64(x))
+            ).alias("_tokh"),
             F.col(C.SEARCH_SET).alias("_ss"),
         ]
 
-    return cached_fragment("block._carry_columns", _build)
+    return cached_fragment("block._carry_columns_hashed", _build)
 
 
 def _inline_prune_flags(df: DataFrame) -> DataFrame:
@@ -144,18 +167,32 @@ def _inline_prune_flags(df: DataFrame) -> DataFrame:
     reference's prune-after-dedupe order (block.py:152-198,272-276).
     """
     for side in ("1", "2"):
-        if f"_tok_{side}" not in df.columns:
-            df = df.withColumn(
-                f"_tok_{side}",
-                F.filter(
-                    F.split(F.col(f"_title_{side}"), " "), lambda x: x != ""
-                ),
+        if f"_tokh_{side}" not in df.columns:
+            # delta path ships (title, search_set) strings through its
+            # broadcast join; derive the hashed prune payload here, on
+            # the join output (survivors only)
+            t = F.col(f"_title_{side}")
+            toks = F.filter(F.split(t, " "), lambda x: x != "")
+            df = (
+                df.withColumn(f"_th_{side}", F.xxhash64(t))
+                .withColumn(f"_sp_{side}", t.contains(" "))
+                .withColumn(f"_tl_{side}", F.length(t))
+                .withColumn(f"_nt_{side}", F.size(toks))
+                .withColumn(
+                    f"_tokh_{side}",
+                    F.array_distinct(
+                        F.transform(toks, lambda x: F.xxhash64(x))
+                    ),
+                )
             )
-    t1, t2 = F.col("_title_1"), F.col("_title_2")
-    exempt = (t1 == t2) | (~t1.contains(" ")) | (~t2.contains(" "))
-    shared = F.size(F.array_intersect("_tok_1", "_tok_2"))
-    denom = F.least(F.size("_tok_1") + 1, F.size("_tok_2") + 1)
-    both_empty = (F.length(t1) + F.length(t2)) == 0
+    exempt = (
+        (F.col("_th_1") == F.col("_th_2"))
+        | (~F.col("_sp_1"))
+        | (~F.col("_sp_2"))
+    )
+    shared = F.size(F.array_intersect("_tokh_1", "_tokh_2"))
+    denom = F.least(F.col("_nt_1") + 1, F.col("_nt_2") + 1)
+    both_empty = (F.col("_tl_1") + F.col("_tl_2")) == 0
     low_overlap = F.when(both_empty, F.lit(True)).otherwise(
         (shared / denom) < 0.5
     )
@@ -174,10 +211,8 @@ def _inline_prune_flags(df: DataFrame) -> DataFrame:
 def _refine_base(keys: DataFrame, hot_ref: DataFrame) -> DataFrame:
     """Hot-group key rows with distinct-token count and wildcard flag."""
     base = keys.join(F.broadcast(hot_ref), ["rule_idx", "key"])
-    return base.withColumn(
-        "_d", F.size(F.array_distinct("_tok"))
-    ).withColumn(
-        "_wc", (~F.col("_title").contains(" ")) | (F.col("_d") == 0)
+    return base.withColumn("_d", F.size("_tokh")).withColumn(
+        "_wc", (~F.col("_sp")) | (F.col("_d") == 0)
     )
 
 
@@ -185,9 +220,12 @@ def _word_prefix_tables(base: DataFrame):
     """(all-words, prefix-words) tables for the refined word join.
 
     ``prefix`` keeps each non-wildcard record's ⌊(d−1)/2⌋+1 rarest
-    distinct words (group-local document frequency ``_wdf``, ties by
-    word) — the probe side of the AllPairs join; ``words`` is the full
-    index side.
+    distinct token hashes (group-local document frequency ``_wdf``, ties
+    by hash — the pigeonhole superset guarantee holds for ANY fixed-size
+    choice among equally-rare tokens) — the probe side of the AllPairs
+    join; ``words`` is the full index side. Tokens travel as xxhash64
+    longs (see :func:`_carry_columns`), so the wdf shuffle and the join
+    keys are fixed 8-byte values.
     """
     words = base.filter(~F.col("_wc")).select(
         "rule_idx",
@@ -196,7 +234,7 @@ def _word_prefix_tables(base: DataFrame):
         C.ID,
         *_CARRY,
         F.col("_d"),
-        F.explode(F.array_distinct("_tok")).alias("_w"),
+        F.explode("_tokh").alias("_w"),
     )
     wdf = words.groupBy("rule_idx", "key", "_w").agg(
         F.count("*").alias("_wdf")
@@ -215,6 +253,19 @@ def _word_prefix_tables(base: DataFrame):
 # groups (every title shares words with every other) would emit MORE
 # word-join rows than the quadratic join they replace.
 REFINE_COST_RATIO = 0.5
+
+# ... and only when the group's all-pairs volume is large enough for the
+# word join's fixed plan cost to pay off. The refinement chain (wdf
+# shuffle + prefix window + routing estimate + attribution-recovery
+# joins) costs a near-constant slice of wall time regardless of group
+# size; the salted quadratic join it replaces is a single codegen'd
+# join. Measured on local[32]: 5 hot keys totalling ~22M quadratic pairs
+# ran 13.0 s salted vs 33.9 s refined (fixed cost dominates), while the
+# round-5 620k-record zipf probe (131.7M quadratic pairs concentrated in
+# a few keys) ran 963 s refined vs 1412 s salted. Per-key floor set
+# between those regimes; both branches are exact, so this is purely a
+# physical-plan choice (like REFINE_COST_RATIO).
+REFINE_MIN_QUAD_PAIRS = 32_000_000
 
 
 def word_join_cost(keys: DataFrame, hot_ref: DataFrame) -> DataFrame:
@@ -262,7 +313,7 @@ def _refined_hot_pairs(
     * **prefix-filtered word join** (AllPairs-style) for the rest: each
       record indexes ALL its distinct title words, but probes with only
       its ⌊(d−1)/2⌋+1 rarest (group-local document frequency, ties by
-      word) — any pair passing (b) or (c) shares > half the smaller
+      token hash) — any pair passing (b) or (c) shares > half the smaller
       distinct set, so the smaller record's rarest-half prefix must
       contain a shared word. Common words (stopwords) almost never land
       in prefixes, which is exactly what kills the quadratic term at
@@ -346,6 +397,7 @@ def candidate_pairs(
     salt_bucket_size: int | None = None,
     refine_hot_keys: bool = True,
     cache_out: list | None = None,
+    refine_min_quad: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (ID_1 < ID_2) with first-rule attribution.
 
@@ -387,7 +439,12 @@ def candidate_pairs(
     join, first-rule attribution) is bit-identical while the raw pair
     volume stops growing quadratically at low-entropy keys. Non-overlap
     rules' hot groups still use the salted join (their pairs are all
-    legitimate output).
+    legitimate output). ``refine_min_quad`` overrides
+    ``REFINE_MIN_QUAD_PAIRS``, the per-key all-pairs-volume floor below
+    which a hot group is routed to the salted join without building the
+    refinement subplan at all (0 = always consider refinement — used by
+    the refinement differential tests and the block_refined_pairs
+    oracle, which pin the word-join generator on small fixtures).
 
     The exploded key table feeds several consumers; ``cache`` persists it
     so the upstream prep UDF pass runs once.
@@ -519,14 +576,27 @@ def candidate_pairs(
         if hot_key_strategy == "salt":
             refine = refine_hot_keys and prune
             if refine:
-                ref_rows = [
-                    r for r in hot_rows if r["rule_idx"] in _RTO_RULE_IDXS
-                ]
-                salt_rows = [
-                    r
-                    for r in hot_rows
-                    if r["rule_idx"] not in _RTO_RULE_IDXS
-                ]
+                # per-key quadratic floor (REFINE_MIN_QUAD_PAIRS): a hot
+                # group below it is cheaper through the salted join than
+                # through the word-join chain's fixed plan cost — and
+                # when NO key passes, the whole refinement subplan
+                # (word/prefix tables, routing-estimate collect,
+                # recovery joins) is skipped outright
+                min_quad = (
+                    REFINE_MIN_QUAD_PAIRS
+                    if refine_min_quad is None
+                    else refine_min_quad
+                )
+                ref_rows, salt_rows = [], []
+                for r in hot_rows:
+                    n = r["_block_n"]
+                    if (
+                        r["rule_idx"] in _RTO_RULE_IDXS
+                        and n * (n - 1) / 2 >= min_quad
+                    ):
+                        ref_rows.append(r)
+                    else:
+                        salt_rows.append(r)
             else:
                 ref_rows, salt_rows = [], hot_rows
             if ref_rows:
@@ -672,8 +742,32 @@ def candidate_pairs(
                 ).select(C.ID, "rule_idx", "key")
         keys = keys_cold
 
-    left = _sided(keys, "1", ("rule_idx", "rto", "key"))
-    right = _sided(keys, "2", ("rule_idx", "key"))
+    if max_block_size is not None:
+        # Cold-side self-join with ONE shuffle of the key table instead
+        # of two, and singletons dropped before the join probe. The
+        # explicit repartition on the join key makes both join sides
+        # read the SAME exchange (ReusedExchange — the plain self-join
+        # could not reuse it because the sides project different
+        # columns below their exchanges); the window count's sort is by
+        # exactly the join keys, so it doubles as the sort-merge sort
+        # and drops singleton (rule, key) groups — the vast majority at
+        # web scale, which the plain join shuffled into BOTH sides and
+        # sorted just to produce nothing. Window partitions are bounded
+        # by the hot threshold (hot keys were routed out above), so the
+        # window buffers at most salt_threshold rows per group. Pair
+        # multiset is unchanged (singletons produce no pairs; pinned by
+        # the salting/refine differentials and the block oracles).
+        keyed = keys.repartition("rule_idx", "key")
+        nkey = Window.partitionBy("rule_idx", "key")
+        keys_join = (
+            keyed.withColumn("_n", F.count("*").over(nkey))
+            .filter(F.col("_n") >= 2)
+            .drop("_n")
+        )
+    else:
+        keys_join = keys
+    left = _sided(keys_join, "1", ("rule_idx", "rto", "key"))
+    right = _sided(keys_join, "2", ("rule_idx", "key"))
     raw_pairs = (
         left.join(right, ["rule_idx", "key"])
         .filter(F.col("ID_1") < F.col("ID_2"))
@@ -810,6 +904,7 @@ def block(
     surrogate_ids: bool = True,
     refine_hot_keys: bool = True,
     cache_out: list | None = None,
+    refine_min_quad: int | None = None,
 ) -> DataFrame:
     """Full blocking stage → enriched, pruned pair table.
 
@@ -838,6 +933,7 @@ def block(
         surrogate_ids=surrogate_ids,
         refine_hot_keys=refine_hot_keys,
         cache_out=cache_out,
+        refine_min_quad=refine_min_quad,
     )
     return _enrich(pairs, records_df)
 

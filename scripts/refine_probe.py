@@ -71,6 +71,7 @@ def inner(n_base: int, vocab: str, refine: bool) -> None:
     from bib_dedupe_spark import prep
     from bib_dedupe_spark.operators.block import (
         REFINE_COST_RATIO,
+        REFINE_MIN_QUAD_PAIRS,
         SALT_BUCKET_SIZE,
         _RTO_RULE_IDXS,
         block,
@@ -129,13 +130,22 @@ def inner(n_base: int, vocab: str, refine: bool) -> None:
         ).withColumnRenamed("group_size", "_block_n")
         hot_rows = hot.collect()
         if hot_rows:
-            keys = corpus_key_table(prepared).withColumnRenamed(
-                "title", "_title"
+            title = F.col("title")
+            toks = F.filter(F.split(title, " "), lambda x: x != "")
+            keys = corpus_key_table(prepared).select(
+                "ID",
+                "rule_idx",
+                "rto",
+                "key",
+                F.xxhash64(title).alias("_th"),
+                title.contains(" ").alias("_sp"),
+                F.length(title).alias("_tl"),
+                F.size(toks).alias("_nt"),
+                F.array_distinct(
+                    F.transform(toks, lambda x: F.xxhash64(x))
+                ).alias("_tokh"),
+                F.col("search_set").alias("_ss"),
             )
-            keys = keys.withColumn(
-                "_tok",
-                F.filter(F.split(F.col("_title"), " "), lambda x: x != ""),
-            ).withColumnRenamed("search_set", "_ss")
             est_df = word_join_cost(
                 keys, spark.createDataFrame(hot_rows, schema=hot.schema)
             )
@@ -149,7 +159,10 @@ def inner(n_base: int, vocab: str, refine: bool) -> None:
                 n = r["_block_n"]
                 e = est.get((r["rule_idx"], r["key"]), 0)
                 raw_hot += n * (n - 1) // 2
-                if e < REFINE_COST_RATIO * n * (n - 1) / 2:
+                if (
+                    n * (n - 1) / 2 >= REFINE_MIN_QUAD_PAIRS
+                    and e < REFINE_COST_RATIO * n * (n - 1) / 2
+                ):
                     routed += 1
                     est_word += e
                 else:

@@ -83,6 +83,7 @@ def test_refined_equals_unrefined_and_unsalted(refine_prepared, truth):
             hot_key_strategy="salt",
             prune=True,
             refine_hot_keys=True,
+            refine_min_quad=0,
         )
     )
     unrefined = _pairs(
@@ -108,7 +109,7 @@ def test_refinement_actually_engaged(refine_prepared, monkeypatch):
 
     monkeypatch.setattr(block_mod, "_refined_hot_pairs", spy)
     candidate_pairs(
-        refine_prepared, max_block_size=10, prune=True
+        refine_prepared, max_block_size=10, prune=True, refine_min_quad=0
     ).collect()
     assert calls, "hot rto group did not route through the refined path"
 
@@ -144,7 +145,9 @@ def test_dense_vocabulary_group_falls_back_to_salt(spark, monkeypatch):
 
     monkeypatch.setattr(block_mod, "_refined_hot_pairs", spy)
     refined = _pairs(
-        candidate_pairs(prepared, max_block_size=10, prune=True)
+        candidate_pairs(
+            prepared, max_block_size=10, prune=True, refine_min_quad=0
+        )
     )
     assert not calls, "dense group should have routed back to salt"
     truth = _pairs(
@@ -160,7 +163,8 @@ def test_attribution_recovery_for_skipped_pairs(refine_prepared, truth):
     rules, even though the word join never emits it."""
     refined = _pairs(
         candidate_pairs(
-            refine_prepared, max_block_size=10, prune=True
+            refine_prepared, max_block_size=10, prune=True,
+            refine_min_quad=0,
         )
     )
     doi_pair = [p for p in refined if {p[0], p[1]} == {"r050", "r051"}]
@@ -172,7 +176,8 @@ def test_attribution_recovery_for_skipped_pairs(refine_prepared, truth):
 def test_wildcards_pair_with_whole_group(refine_prepared, truth):
     refined = _pairs(
         candidate_pairs(
-            refine_prepared, max_block_size=10, prune=True
+            refine_prepared, max_block_size=10, prune=True,
+            refine_min_quad=0,
         )
     )
     wc_partners = {
@@ -190,7 +195,8 @@ def test_wildcards_pair_with_whole_group(refine_prepared, truth):
 def test_disjoint_title_pairs_still_pruned(refine_prepared):
     refined = _pairs(
         candidate_pairs(
-            refine_prepared, max_block_size=10, prune=True
+            refine_prepared, max_block_size=10, prune=True,
+            refine_min_quad=0,
         )
     )
     # two unique-word records share no rule but rule 1 → must be absent
@@ -202,7 +208,12 @@ def test_disjoint_title_pairs_still_pruned(refine_prepared):
 def test_refined_block_end_to_end(refine_prepared, spark):
     from bib_dedupe_spark.operators.block import block
 
-    on = block(refine_prepared, max_block_size=10, refine_hot_keys=True)
+    on = block(
+        refine_prepared,
+        max_block_size=10,
+        refine_hot_keys=True,
+        refine_min_quad=0,
+    )
     off = block(refine_prepared, max_block_size=10, refine_hot_keys=False)
     key = ["ID_1", "ID_2", "block_rule"]
     assert sorted(map(tuple, on.select(*key).collect())) == sorted(
@@ -221,6 +232,7 @@ def test_cache_out_shares_prefix_table(refine_prepared, truth):
         max_block_size=10,
         prune=True,
         cache_out=caches,
+        refine_min_quad=0,
     )
     assert caches, "refined routing should have persisted the prefix table"
     assert all(df.storageLevel.useMemory or df.storageLevel.useDisk
