@@ -468,19 +468,24 @@ def candidate_pairs(
         # a collision would silently fuse two records, so its absence is
         # CHECKED (one aggregation over records — trivial next to pairs)
         # and the string path is used on the (astronomically rare) hit.
+        # count(*) stands in for countDistinct(ID): one distinct
+        # aggregate instead of two keeps the check plan Expand-free (a
+        # corpus with REPEATED id rows now also routes to the string-id
+        # path — purely a physical choice, both paths emit identical
+        # pairs, and duplicate ids are degenerate input either way).
         id_map = base.select(C.ID, F.xxhash64(C.ID).alias("_nid"))
         counts_row = id_map.agg(
-            F.countDistinct(C.ID).alias("n_id"),
+            F.count("*").alias("n_id"),
             F.countDistinct("_nid").alias("n_nid"),
         ).first()
         if counts_row["n_id"] != counts_row["n_nid"]:
             import warnings
 
             warnings.warn(
-                "xxhash64 surrogate-id collision detected "
-                f"({counts_row['n_id']} ids -> {counts_row['n_nid']} "
-                "hashes); falling back to string ids for this blocking "
-                "pass",
+                "xxhash64 surrogate-id collision (or repeated input ids) "
+                f"detected ({counts_row['n_id']} rows -> "
+                f"{counts_row['n_nid']} hashes); falling back to string "
+                "ids for this blocking pass",
                 UserWarning,
                 stacklevel=2,
             )
