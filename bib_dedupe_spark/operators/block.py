@@ -804,41 +804,7 @@ def candidate_pairs(
             F.col("_title_ok") | ~F.col("require_title_overlap")
         ).select("ID_1", "ID_2", "rule_idx")
     if refine_membership is not None:
-        # exact first-rule attribution under refinement: a surviving pair
-        # whose records share a REFINED hot (rule, key) qualifies for
-        # that rule even if the word join never emitted it (the pair got
-        # through via another rule; reference attribution is min over ALL
-        # qualifying rules, block.py:272-277). Recompute qualification
-        # from the membership table — survivors only, so both joins are
-        # post-prune-sized.
-        m1 = refine_membership.select(
-            F.col(C.ID).alias("ID_1"),
-            F.col("rule_idx").alias("_hr"),
-            "key",
-        )
-        m2 = refine_membership.select(
-            F.col(C.ID).alias("ID_2"),
-            F.col("rule_idx").alias("_hr"),
-            "key",
-        )
-        qual = (
-            grouped.select("ID_1", "ID_2")
-            .join(m1, "ID_1")
-            .join(m2, ["ID_2", "_hr", "key"])
-            .groupBy("ID_1", "ID_2")
-            .agg(F.min("_hr").alias("_hr"))
-        )
-        grouped = (
-            grouped.join(qual, ["ID_1", "ID_2"], "left")
-            .withColumn(
-                "rule_idx",
-                F.least(
-                    F.col("rule_idx"),
-                    F.coalesce(F.col("_hr"), F.lit(len(BLOCKING_RULES))),
-                ),
-            )
-            .drop("_hr")
-        )
+        grouped = _recover_attribution(grouped, refine_membership)
     if id_map is not None:
         # map surviving pairs back to string ids (two joins over the
         # POST-prune survivors — tiny next to the raw stream) and restore
@@ -864,6 +830,49 @@ def candidate_pairs(
             )
         )
     return grouped
+
+
+def _recover_attribution(
+    grouped: DataFrame, membership: DataFrame
+) -> DataFrame:
+    """Exact first-rule attribution under word-join refinement.
+
+    A surviving pair whose records share a REFINED hot (rule, key)
+    qualifies for that rule even if the word join never emitted it (the
+    pair got through via another rule; reference attribution is min over
+    ALL qualifying rules, block.py:272-277). Recompute qualification
+    from the ``membership`` table — DataFrame[ID, rule_idx, key] of the
+    refined hot groups — over survivors only, so both joins are
+    post-prune-sized.
+    """
+    m1 = membership.select(
+        F.col(C.ID).alias("ID_1"),
+        F.col("rule_idx").alias("_hr"),
+        "key",
+    )
+    m2 = membership.select(
+        F.col(C.ID).alias("ID_2"),
+        F.col("rule_idx").alias("_hr"),
+        "key",
+    )
+    qual = (
+        grouped.select("ID_1", "ID_2")
+        .join(m1, "ID_1")
+        .join(m2, ["ID_2", "_hr", "key"])
+        .groupBy("ID_1", "ID_2")
+        .agg(F.min("_hr").alias("_hr"))
+    )
+    return (
+        grouped.join(qual, ["ID_1", "ID_2"], "left")
+        .withColumn(
+            "rule_idx",
+            F.least(
+                F.col("rule_idx"),
+                F.coalesce(F.col("_hr"), F.lit(len(BLOCKING_RULES))),
+            ),
+        )
+        .drop("_hr")
+    )
 
 
 def blocking_key_stats(records_df: DataFrame) -> DataFrame:
@@ -972,6 +981,265 @@ def corpus_key_table(prepared_df: DataFrame) -> DataFrame:
     )
 
 
+# Crossing-side refinement floor: a hot (rule, key) group is routed to
+# the two-directional word join only when its batch×corpus fan-out is at
+# least this many rows AND the batch holds at least CROSS_REFINE_MIN_NB
+# members of the key (below that, the fan-out is O(|corpus group|) —
+# the same order as the word join's own index pass, so refinement
+# cannot win). Calibrated on the incremental probe's degenerate corpus
+# (one corpus-wide author key): per-batch wall 19→82 s over 6 batches
+# unrefined at 2.25M→13.5M fan-out. Purely physical routing — both
+# branches produce the exact same pair set.
+CROSS_REFINE_MIN_PAIRS = 1_000_000
+CROSS_REFINE_MIN_NB = 8
+
+# The crossing word join's per-emitted-row cost is higher than the
+# fan-out join's per-pair cost (the chain pays wdf + two prefix windows
+# + a four-way union + the recovery joins, where the fan-out is one
+# codegen'd broadcast join feeding a partial aggregation). Measured on
+# the cross-refine probe (zipf titles, 1500×3000 degenerate key):
+# ~11 µs per word-join row vs ~2.8 µs per fan-out row — so the word
+# join must cut emission by well over 4× before it wins. Route at 0.1:
+# est below 10% of the fan-out volume is a clear win (entropic titles
+# land at 1-2%), anything marginal stays on the fan-out.
+CROSS_REFINE_COST_RATIO = 0.1
+
+
+def _refined_crossing_pairs(
+    batch_keys: DataFrame,
+    corpus_frames: list,
+    cand_rows: list,
+    nb_map: dict,
+    cache_out: list | None = None,
+):
+    """Batch×corpus pairs for hot rto keys via the word-join machinery.
+
+    The batch×corpus analogue of :func:`_refined_hot_pairs`: wildcard ×
+    all in both directions, plus a TWO-directional prefix word join
+    (batch prefixes ⋈ corpus words AND corpus prefixes ⋈ batch words —
+    the superset guarantee needs the smaller-multiset side of each pair
+    to probe, and either side can be smaller). Prefix ranks use the
+    COMBINED group-local document frequency; per-key routing uses the
+    same exact emission estimate as candidate_pairs (Σ opposite-side
+    wdf over prefix rows vs REFINE_COST_RATIO × nb·nc) so dense
+    vocabularies fall back to the fan-out join, where the quadratic
+    output is the prune's own input and nothing can be saved.
+
+    Returns ``(raw_pair_rows, membership, routed_df)`` in the crossing
+    raw schema, or ``None`` when the cost model routed every candidate
+    back. The est collect is the only extra driver action and only runs
+    when candidates exist; the wdf chain it forces is recomputed once by
+    the downstream join (streaming keeps no caches per batch).
+    """
+    spark = batch_keys.sparkSession
+    cand_df = F.broadcast(
+        spark.createDataFrame(
+            [(r, k) for (r, k) in cand_rows], schema="rule_idx int, key string"
+        )
+    )
+    hb_raw = batch_keys.join(cand_df, ["rule_idx", "key"], "semi")
+    hc_raw = corpus_frames[0].join(cand_df, ["rule_idx", "key"], "semi")
+    for extra in corpus_frames[1:]:
+        hc_raw = hc_raw.unionByName(
+            extra.join(cand_df, ["rule_idx", "key"], "semi").select(
+                *hc_raw.columns
+            )
+        )
+    if cache_out is not None:
+        # the hot-group tables feed the est collect, the four pair
+        # branches, and the membership recovery — without a persist each
+        # consumer re-SCANS the whole (growing) corpus key index, which
+        # made per-batch cost grow faster than the fan-out it replaces
+        # (measured). The semi-joined frames are group-sized, tiny next
+        # to the index; the CALLER unpersists after the batch (streaming
+        # cache_out convention).
+        from pyspark.storagelevel import StorageLevel
+
+        hb_raw = hb_raw.persist(StorageLevel.MEMORY_AND_DISK)
+        hc_raw = hc_raw.persist(StorageLevel.MEMORY_AND_DISK)
+        cache_out.extend([hb_raw, hc_raw])
+
+    def _gen(df: DataFrame, p: str, with_rto: bool) -> DataFrame:
+        toks = F.filter(F.split(F.col(C.TITLE), " "), lambda x: x != "")
+        out = df.select(
+            "rule_idx",
+            *(["rto"] if with_rto else []),
+            "key",
+            F.col(C.ID).alias(f"_{p}id"),
+            F.col(C.TITLE).alias(f"_{p}title"),
+            F.col(C.SEARCH_SET).alias(f"_{p}ss"),
+            F.array_distinct(
+                F.transform(toks, lambda x: F.xxhash64(x))
+            ).alias(f"_{p}tokh"),
+        )
+        return out.withColumn(
+            f"_{p}wc",
+            (~F.col(f"_{p}title").contains(" "))
+            | (F.size(f"_{p}tokh") == 0),
+        ).withColumn(f"_{p}d", F.size(f"_{p}tokh"))
+
+    b_side = _gen(hb_raw, "b", True)
+    c_side = _gen(hc_raw, "c", False)
+
+    wb = b_side.filter(~F.col("_bwc")).select(
+        "rule_idx", "rto", "key", "_bid", "_btitle", "_bss", "_bd",
+        F.explode("_btokh").alias("_w"),
+    )
+    wc_r = c_side.filter(~F.col("_cwc")).select(
+        "rule_idx", "key", "_cid", "_ctitle", "_css", "_cd",
+        F.explode("_ctokh").alias("_w"),
+    )
+    # one aggregation carries the combined df (prefix ranking) and the
+    # per-side dfs (the emission estimate needs the OPPOSITE side's df)
+    tagged = wb.select(
+        "rule_idx", "key", "_w", F.lit(1).alias("_isb")
+    ).unionByName(
+        wc_r.select("rule_idx", "key", "_w", F.lit(0).alias("_isb"))
+    )
+    wdf = tagged.groupBy("rule_idx", "key", "_w").agg(
+        F.count("*").alias("_wdf"),
+        F.sum("_isb").alias("_wb_df"),
+        (F.count("*") - F.sum("_isb")).alias("_wc_df"),
+    )
+    win_b = Window.partitionBy("rule_idx", "key", "_bid").orderBy(
+        "_wdf", "_w"
+    )
+    win_c = Window.partitionBy("rule_idx", "key", "_cid").orderBy(
+        "_wdf", "_w"
+    )
+
+    def _prefix(words_df, win, d_col):
+        return (
+            words_df.join(wdf, ["rule_idx", "key", "_w"])
+            .withColumn("_rank", F.row_number().over(win))
+            .filter(F.col("_rank") <= F.floor((F.col(d_col) - 1) / 2) + 1)
+        )
+
+    # routing estimate from a DETERMINISTIC 1/16 record sample per side:
+    # the wdf aggregation stays full (document frequencies must be
+    # exact), but the per-record rarest-prefix windows — the expensive
+    # part of the chain — run over sampled records only, so a batch
+    # whose keys the router sends BACK to the fan-out join pays almost
+    # nothing for having asked. The estimate only picks a physical
+    # plan; both branches are exact.
+    mod = 16
+    est_rows = (
+        _prefix(
+            wb.filter(F.pmod(F.xxhash64(F.col("_bid")), mod) == 0),
+            win_b,
+            "_bd",
+        ).select("rule_idx", "key", F.col("_wc_df").alias("_e"))
+        .unionByName(
+            _prefix(
+                wc_r.filter(F.pmod(F.xxhash64(F.col("_cid")), mod) == 0),
+                win_c,
+                "_cd",
+            ).select("rule_idx", "key", F.col("_wb_df").alias("_e"))
+        )
+        .groupBy("rule_idx", "key")
+        .agg(F.sum("_e").alias("_est"))
+        .collect()
+    )
+    est = {
+        (r["rule_idx"], r["key"]): r["_est"] * mod for r in est_rows
+    }
+    routed = [
+        rk
+        for rk in cand_rows
+        if est.get(rk, 0)
+        < CROSS_REFINE_COST_RATIO * nb_map[rk][0] * nb_map[rk][1]
+    ]
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_DEBUG_CROSS") == "1":
+        import sys as _sys
+
+        print(
+            "[cross-refine] cand="
+            + repr([(rk, nb_map[rk], est.get(rk, 0)) for rk in cand_rows])
+            + f" routed={len(routed)}",
+            file=_sys.stderr,
+            flush=True,
+        )
+    if not routed:
+        return None
+    routed_df = F.broadcast(
+        spark.createDataFrame(routed, schema="rule_idx int, key string")
+    )
+
+    def _routed(df: DataFrame) -> DataFrame:
+        # _wdf and the prefix rank are group-local to (rule_idx, key):
+        # filtering the prebuilt tables to the routed subset is
+        # bit-identical to rebuilding them from it
+        return df.join(routed_df, ["rule_idx", "key"], "semi")
+
+    b_side, c_side = _routed(b_side), _routed(c_side)
+    wb, wc_r = _routed(wb), _routed(wc_r)
+    # the real (full) prefix tables are only built for ROUTED keys — a
+    # fallback decision never pays for the per-record windows
+    pb = _prefix(wb, win_b, "_bd")
+    pc = _prefix(wc_r, win_c, "_cd")
+
+    swap = F.col("_bid") > F.col("_cid")
+
+    def _proj(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("_bid") != F.col("_cid")).select(
+            F.least("_bid", "_cid").alias("ID_1"),
+            F.greatest("_bid", "_cid").alias("ID_2"),
+            "rule_idx",
+            "rto",
+            F.when(swap, F.col("_ctitle"))
+            .otherwise(F.col("_btitle"))
+            .alias("_title_1"),
+            F.when(swap, F.col("_btitle"))
+            .otherwise(F.col("_ctitle"))
+            .alias("_title_2"),
+            F.when(swap, F.col("_css"))
+            .otherwise(F.col("_bss"))
+            .alias("_ss_1"),
+            F.when(swap, F.col("_bss"))
+            .otherwise(F.col("_css"))
+            .alias("_ss_2"),
+        )
+
+    # wildcard passes: batch wildcards × whole corpus group, corpus
+    # wildcards × batch non-wildcards (each unordered pair once)
+    wc1 = b_side.filter("_bwc").join(c_side, ["rule_idx", "key"])
+    wc2 = b_side.filter(~F.col("_bwc")).join(
+        c_side.filter("_cwc"), ["rule_idx", "key"]
+    )
+    dir1 = pb.select(
+        "rule_idx", "rto", "key", "_w", "_bid", "_btitle", "_bss"
+    ).join(
+        wc_r.select("rule_idx", "key", "_w", "_cid", "_ctitle", "_css"),
+        ["rule_idx", "key", "_w"],
+    )
+    dir2 = pc.select(
+        "rule_idx", "key", "_w", "_cid", "_ctitle", "_css"
+    ).join(
+        wb.select(
+            "rule_idx", "rto", "key", "_w", "_bid", "_btitle", "_bss"
+        ),
+        ["rule_idx", "key", "_w"],
+    )
+    raw = (
+        _proj(wc1)
+        .unionByName(_proj(wc2))
+        .unionByName(_proj(dir1))
+        .unionByName(_proj(dir2))
+    )
+    membership = (
+        hb_raw.join(routed_df, ["rule_idx", "key"], "semi")
+        .select(C.ID, "rule_idx", "key")
+        .unionByName(
+            hc_raw.join(routed_df, ["rule_idx", "key"], "semi").select(
+                C.ID, "rule_idx", "key"
+            )
+        )
+    )
+    return raw, membership, routed_df
+
+
 def block_delta(
     batch_prepared: DataFrame,
     corpus_keys: DataFrame,
@@ -980,6 +1248,9 @@ def block_delta(
     fresh_corpus_keys: DataFrame | None = None,
     max_block_size: int | None = None,
     hot_key_strategy: str = "salt",
+    refine_hot_keys: bool = True,
+    crossing_refine_min_pairs: int | None = None,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Incremental blocking: batch×batch plus batch×corpus pairs ONLY.
 
@@ -1009,10 +1280,20 @@ def block_delta(
 
     - ``hot_key_strategy="salt"`` (default when ``max_block_size`` set):
       the within-batch part delegates to :func:`candidate_pairs`' salted
-      self-join (identical pair set, bounded join groups). The crossing
-      fan-out is kept — it is the semantics of ``block(corpus ∪ batch)``
-      — and is spread across index partitions by the broadcast join (or
-      AQE skew-split under SMJ).
+      self-join (identical pair set, bounded join groups). For the
+      crossing side, hot require-title-overlap keys above the fan-out
+      floor route through :func:`_refined_crossing_pairs` (two-
+      directional prefix word join + wildcard passes, est-gated by
+      CROSS_REFINE_COST_RATIO with the exact downstream prune and the
+      attribution-recovery join — pair set identical, pinned by
+      test_block_delta_crossing_refinement_matches_combined); measured
+      1.5× at a 1500×12000 entropic-title degenerate key and growing
+      with the corpus, while dense-vocabulary keys (word join emission
+      ≥ ~10% of the fan-out) stay on the fan-out join, which remains
+      the cheaper exact plan there. ``refine_hot_keys=False`` or a huge
+      ``crossing_refine_min_pairs`` restores the pure fan-out.
+      ``cache_out`` collects the refinement's per-batch persists for
+      the caller to release (streaming convention).
     - ``"drop"``: keys whose COMBINED (corpus + batch [+ fresh])
       membership exceeds ``max_block_size`` are dropped from BOTH sides —
       bounded per-batch output, exactly equal to
@@ -1068,8 +1349,99 @@ def block_delta(
                     "_title_2", "_ss_1", "_ss_2")
         )
 
+    # -------- crossing-side hot-key refinement (salt mode) ------------
+    # A DEGENERATE hot rto key fans each batch member out against the
+    # whole corpus-side key group: O(|batch∩key| · |corpus∩key|) raw
+    # rows per batch, growing with the corpus (measured 19→82 s/batch
+    # over 6 batches on the degenerate probe). For hot rto keys above
+    # the fan-out floor, pair generation switches to the same
+    # AllPairs-style machinery candidate_pairs uses, adapted to the
+    # batch×corpus shape: wildcard×all in both directions plus a
+    # TWO-directional prefix word join (batch prefixes ⋈ corpus words
+    # and corpus prefixes ⋈ batch words — the superset guarantee needs
+    # the smaller-multiset side of each pair to probe, and either side
+    # can be smaller). The exact overlap prune still runs downstream
+    # and attribution is restored by the same post-prune recovery join,
+    # so the pair set equals block(corpus ∪ batch) restricted to
+    # batch-touching pairs (pinned by test_block_delta_refine).
+    refine_cross = (
+        refine_hot_keys
+        and max_block_size is not None
+        and hot_key_strategy == "salt"
+    )
+    hot_cross = None
+    cross_membership = None
+    hot_raw_pairs = None
+    if refine_cross:
+        min_pairs = (
+            CROSS_REFINE_MIN_PAIRS
+            if crossing_refine_min_pairs is None
+            else crossing_refine_min_pairs
+        )
+        min_nb = CROSS_REFINE_MIN_NB if min_pairs > 0 else 1
+        rto_list = sorted(_RTO_RULE_IDXS)
+        # driver round-trip 1: batch-side member counts per rto key —
+        # tiny (the batch is the small side by construction) and gated
+        # so healthy batches pay ONLY this one cheap aggregation
+        nb_rows = (
+            batch_keys.filter(F.col("rule_idx").isin(rto_list))
+            .groupBy("rule_idx", "key")
+            .agg(F.count("*").alias("_nb"))
+            .filter(F.col("_nb") >= min_nb)
+            .limit(HOT_KEY_COLLECT_LIMIT + 1)
+            .collect()
+        )
+        if nb_rows and len(nb_rows) <= HOT_KEY_COLLECT_LIMIT:
+            spark = batch_prepared.sparkSession
+            nb_only = {(r["rule_idx"], r["key"]): r["_nb"] for r in nb_rows}
+            bk_df = spark.createDataFrame(
+                list(nb_only), schema="rule_idx int, key string"
+            )
+            csides = [corpus_keys]
+            if fresh_corpus_keys is not None:
+                csides.append(fresh_corpus_keys)
+            cunion = csides[0].select("rule_idx", "key")
+            for s in csides[1:]:
+                cunion = cunion.unionByName(s.select("rule_idx", "key"))
+            # driver round-trip 2 (only when a batch key looked hot):
+            # corpus-side member counts, restricted to those keys
+            nc_rows = (
+                cunion.join(F.broadcast(bk_df), ["rule_idx", "key"], "semi")
+                .groupBy("rule_idx", "key")
+                .agg(F.count("*").alias("_nc"))
+                .collect()
+            )
+            nb_map = {
+                (r["rule_idx"], r["key"]): (
+                    nb_only[(r["rule_idx"], r["key"])],
+                    r["_nc"],
+                )
+                for r in nc_rows
+            }
+            cand_rows = [
+                rk for rk, (nb, nc) in nb_map.items()
+                if nb * nc >= min_pairs
+            ]
+            if cand_rows:
+                refined_out = _refined_crossing_pairs(
+                    batch_keys, csides, cand_rows, nb_map,
+                    cache_out=cache_out,
+                )
+                if refined_out is not None:
+                    hot_raw_pairs, cross_membership, hot_cross = refined_out
+
     def _crossing(index_df: DataFrame, hint_broadcast: bool) -> DataFrame:
-        probe = F.broadcast(batch_keys) if hint_broadcast else batch_keys
+        cold_batch_keys = batch_keys
+        if hot_cross is not None:
+            # hot keys leave the fan-out join (their pairs come from the
+            # refined generator below); excluding the batch side alone
+            # removes the key from the equi-join
+            cold_batch_keys = batch_keys.join(
+                hot_cross, ["rule_idx", "key"], "left_anti"
+            )
+        probe = (
+            F.broadcast(cold_batch_keys) if hint_broadcast else cold_batch_keys
+        )
         joined = probe.join(
             index_df.select(
                 F.col(C.ID).alias("_cid"),
@@ -1104,6 +1476,9 @@ def block_delta(
     if fresh_corpus_keys is not None:
         crossing = crossing.unionByName(_crossing(fresh_corpus_keys, True))
 
+    if hot_raw_pairs is not None:
+        crossing = crossing.unionByName(hot_raw_pairs)
+
     def _agg_prune(raw: DataFrame) -> DataFrame:
         return (
             _inline_prune_flags(raw)
@@ -1130,7 +1505,10 @@ def block_delta(
             hot_key_strategy="salt",
             prune=True,
         )
-        pairs = within_pairs.unionByName(_agg_prune(crossing))
+        cross_pairs = _agg_prune(crossing)
+        if cross_membership is not None:
+            cross_pairs = _recover_attribution(cross_pairs, cross_membership)
+        pairs = within_pairs.unionByName(cross_pairs)
     else:
         pairs = _agg_prune(_within().unionByName(crossing))
 

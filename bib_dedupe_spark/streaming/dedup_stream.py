@@ -284,7 +284,11 @@ def link_batch(
             )
             # max_block_size now applies to EVERY batch, not just batch
             # 0's full block: the salted within-batch join bounds
-            # degenerate-key groups (pair set unchanged)
+            # degenerate-key groups (pair set unchanged). block_caches
+            # collects the crossing-refinement's per-batch persists
+            # (hot-group + prefix tables) — released with the other
+            # batch caches below.
+            block_caches: list = []
             pairs = block_delta(
                 sealed_batch,
                 corpus_keys,
@@ -292,8 +296,10 @@ def link_batch(
                 fresh_corpus_keys=fresh_keys,
                 max_block_size=max_block_size,
                 hot_key_strategy=hot_key_strategy,
+                cache_out=block_caches,
             )
         else:
+            block_caches = []
             pairs = block(
                 sealed_batch,
                 max_block_size=max_block_size,
@@ -313,6 +319,8 @@ def link_batch(
             f"{keys_path}/_batch={batch_id}"
         )
         for df in batch_caches:
+            df.unpersist()
+        for df in block_caches:
             df.unpersist()
     finally:
         prepared_batch.unpersist()

@@ -150,7 +150,15 @@ def main() -> None:
 
     from bib_dedupe_spark.sources.synthetic import generate
 
-    records, _ = generate(n_base=n_batches * batch_records, seed=99)
+    # INCR_VOCAB=zipf switches titles to the realistic-entropy pool —
+    # with INCR_HOT=1 this is the regime the crossing-side word-join
+    # refinement targets (degenerate blocking key, entropic titles);
+    # the default dense pool makes every fan-out pair share words, where
+    # the est router correctly keeps the fan-out join
+    vocab = os.environ.get("INCR_VOCAB", "dense")
+    records, _ = generate(
+        n_base=n_batches * batch_records, seed=99, title_vocab=vocab
+    )
 
     walls, compact_walls = run_stream(
         spark, records, n_batches, batch_records, hot, hot_strategy,

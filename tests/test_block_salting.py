@@ -306,3 +306,111 @@ def test_hot_key_collect_bound_fails_loudly(skewed_prepared, monkeypatch):
         candidate_pairs(
             skewed_prepared, max_block_size=10, hot_key_strategy="salt"
         ).collect()
+
+
+def _cross_refine_corpus(spark):
+    """Degenerate corpus for the crossing-side word-join refinement:
+    one corpus-wide (author_first, year) rto key holding shared-word
+    titles (pairs pass the overlap prune), unique-word titles (pairs
+    fail it), wildcards (single-word and empty titles — prune-exempt),
+    and a same-DOI disjoint-title crossing pair (attribution recovery:
+    survives via the DOI rule, attributed to the hot rto rule)."""
+    import pandas as pd
+
+    from bib_dedupe_spark import prep
+
+    def rec(i, title, doi=""):
+        return {
+            "ID": f"X{i:03d}",
+            "ENTRYTYPE": "article",
+            "author": "Shared, Sam",
+            "title": title,
+            "journal": f"venue {i}",
+            "year": "2021",
+            "volume": "",
+            "number": "",
+            "pages": "",
+            "abstract": "",
+            "doi": doi,
+        }
+
+    rows = []
+    for i in range(8):
+        rows.append(rec(i, f"common theme heat mice cohort {i}"))
+    for i in range(8, 72):
+        rows.append(rec(i, f"uq{i}a uq{i}b uq{i}c uq{i}d uq{i}e"))
+    rows.append(rec(72, "singleword"))
+    rows.append(rec(73, ""))
+    rows.append(rec(74, "alpha beta gamma delta", doi="10.1/same"))
+    rows.append(rec(75, "epsilon zeta eta theta", doi="10.1/same"))
+    return prep(spark.createDataFrame(pd.DataFrame(rows)))
+
+
+def test_block_delta_crossing_refinement_matches_combined(spark):
+    """Crossing-side refinement (forced via crossing_refine_min_pairs=0)
+    must equal both the unrefined salted delta and block(corpus ∪ batch)
+    restricted to batch-touching pairs."""
+    from bib_dedupe_spark import block as block_fn
+    from bib_dedupe_spark.operators.block import block_delta, corpus_key_table
+
+    prepared = _cross_refine_corpus(spark).persist()
+    # parity split: both sides hold shared-word, unique-word and special
+    # rows (X072 wildcard → corpus, X073 empty title → batch, the
+    # same-DOI pair X074/X075 crosses)
+    corpus = prepared.filter("CAST(substring(ID, 2, 6) AS INT) % 2 = 0")
+    batch = prepared.filter("CAST(substring(ID, 2, 6) AS INT) % 2 = 1")
+    corpus_keys = corpus_key_table(corpus)
+    batch_ids = {r["ID"] for r in batch.select("ID").collect()}
+
+    def pairset(df):
+        return {
+            (r["ID_1"], r["ID_2"], r["block_rule"])
+            for r in df.select("ID_1", "ID_2", "block_rule").collect()
+        }
+
+    from bib_dedupe_spark.operators import block as block_mod
+
+    outcome = []
+    orig = block_mod._refined_crossing_pairs
+
+    def spy(*a, **k):
+        res = orig(*a, **k)
+        outcome.append(res is not None)
+        return res
+
+    block_mod._refined_crossing_pairs = spy
+    try:
+        refined = pairset(
+            block_delta(
+                batch, corpus_keys, corpus,
+                max_block_size=5, hot_key_strategy="salt",
+                crossing_refine_min_pairs=0,
+            )
+        )
+    finally:
+        block_mod._refined_crossing_pairs = orig
+    assert outcome == [True], (
+        "crossing refinement was not engaged (router sent every key "
+        "back to the fan-out join) — the differential no longer pins "
+        "the word-join generator"
+    )
+    plain = pairset(
+        block_delta(
+            batch, corpus_keys, corpus,
+            max_block_size=5, hot_key_strategy="salt",
+            refine_hot_keys=False,
+        )
+    )
+    combined = block_fn(corpus.unionByName(batch), max_block_size=None)
+    want = {
+        (r["ID_1"], r["ID_2"], r["block_rule"])
+        for r in combined.select("ID_1", "ID_2", "block_rule").collect()
+        if r["ID_1"] in batch_ids or r["ID_2"] in batch_ids
+    }
+    prepared.unpersist()
+    assert refined == plain == want
+    assert want, "crossing-refinement corpus produced no pairs"
+    # the recovery case is actually present: the same-DOI crossing pair
+    # is attributed to an rto rule despite failing the overlap prune
+    doi_pair = [p for p in want if {p[0], p[1]} == {"X074", "X075"}]
+    assert doi_pair, "same-DOI crossing pair missing"
