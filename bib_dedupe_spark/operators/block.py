@@ -630,6 +630,16 @@ def candidate_pairs(
 
                     rprefix = rprefix.persist(StorageLevel.MEMORY_AND_DISK)
                     cache_out.append(rprefix)
+                # this collect returns ≤ len(ref_rows) rows, and
+                # ref_rows ⊆ hot_rows is already bounded by
+                # HOT_KEY_COLLECT_LIMIT above — the routing round-trip
+                # can never exceed the hot-key collect's own bound. It
+                # only runs at all when some key passed the
+                # REFINE_MIN_QUAD_PAIRS floor; folding it into the
+                # hot-key collect itself was examined and rejected: est
+                # needs the hot key set first, and computing it for ALL
+                # keys would replace a broadcast-driven bounded job with
+                # a full shuffle of the key table.
                 est = {
                     (r["rule_idx"], r["key"]): r["_est"]
                     for r in rprefix.groupBy("rule_idx", "key")
