@@ -254,18 +254,21 @@ def _word_prefix_tables(base: DataFrame):
 # word-join rows than the quadratic join they replace.
 REFINE_COST_RATIO = 0.5
 
-# ... and only when the group's all-pairs volume is large enough for the
-# word join's fixed plan cost to pay off. The refinement chain (wdf
-# shuffle + prefix window + routing estimate + attribution-recovery
-# joins) costs a near-constant slice of wall time regardless of group
-# size; the salted quadratic join it replaces is a single codegen'd
-# join. Measured on local[32]: 5 hot keys totalling ~22M quadratic pairs
-# ran 13.0 s salted vs 33.9 s refined (fixed cost dominates), while the
-# round-5 620k-record zipf probe (131.7M quadratic pairs concentrated in
-# a few keys) ran 963 s refined vs 1412 s salted. Per-key floor set
-# between those regimes; both branches are exact, so this is purely a
-# physical-plan choice (like REFINE_COST_RATIO).
-REFINE_MIN_QUAD_PAIRS = 32_000_000
+# ... and only when the hot set's TOTAL all-pairs volume is large
+# enough for the word join's fixed plan cost to pay off. The refinement
+# chain (wdf shuffle + prefix windows + routing-estimate collect +
+# attribution-recovery joins) is built ONCE over every candidate key,
+# so its near-constant wall-time slice amortizes across the whole hot
+# set — the floor is therefore on the SUM of the candidates' quadratic
+# volumes, not per key. Measured on local[32]: 5 hot keys totalling
+# ~22M quadratic pairs ran 13.0 s salted vs 33.9 s refined (fixed cost
+# dominates), a 155k-record zipf probe at 58.5M total was a wash
+# (93.9 s salted vs ~100 s), and the round-5 232k/620k zipf probes
+# (131.7M+ total) won 339 vs 529 s and 963 vs 1412 s refined. Floor set
+# at the wash point; per-key est routing (REFINE_COST_RATIO) still
+# sends dense-vocabulary keys back individually. Both branches are
+# exact, so this is purely a physical-plan choice.
+REFINE_MIN_QUAD_PAIRS = 128_000_000
 
 
 def word_join_cost(keys: DataFrame, hot_ref: DataFrame) -> DataFrame:
@@ -440,11 +443,12 @@ def candidate_pairs(
     volume stops growing quadratically at low-entropy keys. Non-overlap
     rules' hot groups still use the salted join (their pairs are all
     legitimate output). ``refine_min_quad`` overrides
-    ``REFINE_MIN_QUAD_PAIRS``, the per-key all-pairs-volume floor below
-    which a hot group is routed to the salted join without building the
-    refinement subplan at all (0 = always consider refinement — used by
-    the refinement differential tests and the block_refined_pairs
-    oracle, which pin the word-join generator on small fixtures).
+    ``REFINE_MIN_QUAD_PAIRS``, the AGGREGATE all-pairs-volume floor
+    below which the whole hot rto set is routed to the salted join
+    without building the refinement subplan at all (0 = always consider
+    refinement — used by the refinement differential tests and the
+    block_refined_pairs oracle, which pin the word-join generator on
+    small fixtures).
 
     The exploded key table feeds several consumers; ``cache`` persists it
     so the upstream prep UDF pass runs once.
@@ -581,27 +585,35 @@ def candidate_pairs(
         if hot_key_strategy == "salt":
             refine = refine_hot_keys and prune
             if refine:
-                # per-key quadratic floor (REFINE_MIN_QUAD_PAIRS): a hot
-                # group below it is cheaper through the salted join than
-                # through the word-join chain's fixed plan cost — and
-                # when NO key passes, the whole refinement subplan
-                # (word/prefix tables, routing-estimate collect,
-                # recovery joins) is skipped outright
+                # aggregate quadratic floor (REFINE_MIN_QUAD_PAIRS): the
+                # word-join chain's fixed plan cost amortizes over ALL
+                # candidate keys, so the go/no-go is on the SUM of their
+                # all-pairs volumes — below it the salted join is the
+                # cheaper exact plan for the whole set, and the entire
+                # refinement subplan (word/prefix tables, the
+                # routing-estimate collect, recovery joins) is skipped
+                # outright. Above it, the per-key est router still
+                # returns dense-vocabulary keys to salt individually.
                 min_quad = (
                     REFINE_MIN_QUAD_PAIRS
                     if refine_min_quad is None
                     else refine_min_quad
                 )
-                ref_rows, salt_rows = [], []
-                for r in hot_rows:
-                    n = r["_block_n"]
-                    if (
-                        r["rule_idx"] in _RTO_RULE_IDXS
-                        and n * (n - 1) / 2 >= min_quad
-                    ):
-                        ref_rows.append(r)
-                    else:
-                        salt_rows.append(r)
+                cand = [
+                    r for r in hot_rows if r["rule_idx"] in _RTO_RULE_IDXS
+                ]
+                total_quad = sum(
+                    r["_block_n"] * (r["_block_n"] - 1) / 2 for r in cand
+                )
+                if total_quad >= min_quad:
+                    ref_rows = cand
+                    salt_rows = [
+                        r
+                        for r in hot_rows
+                        if r["rule_idx"] not in _RTO_RULE_IDXS
+                    ]
+                else:
+                    ref_rows, salt_rows = [], list(hot_rows)
             else:
                 ref_rows, salt_rows = [], hot_rows
             if ref_rows:

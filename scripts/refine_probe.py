@@ -155,12 +155,18 @@ def inner(n_base: int, vocab: str, refine: bool) -> None:
             }
             routed = fallback = 0
             raw_hot = est_word = 0
+            # aggregate floor first (matches candidate_pairs): below it
+            # the whole set goes to salt; above it, per-key est routing
+            total_quad = sum(
+                r["_block_n"] * (r["_block_n"] - 1) / 2 for r in hot_rows
+            )
+            floor_passed = total_quad >= REFINE_MIN_QUAD_PAIRS
             for r in hot_rows:
                 n = r["_block_n"]
                 e = est.get((r["rule_idx"], r["key"]), 0)
                 raw_hot += n * (n - 1) // 2
                 if (
-                    n * (n - 1) / 2 >= REFINE_MIN_QUAD_PAIRS
+                    floor_passed
                     and e < REFINE_COST_RATIO * n * (n - 1) / 2
                 ):
                     routed += 1
